@@ -1,0 +1,29 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+
+This is the standard JAX fake-backend trick (SURVEY.md §4) — multi-chip
+sharding logic is exercised on CPU without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DIR = '/root/reference'
+
+
+@pytest.fixture(scope='session')
+def rng():
+    return np.random.default_rng(11)
+
+
+@pytest.fixture(scope='session')
+def reference_dir():
+    if not os.path.isdir(REFERENCE_DIR):
+        pytest.skip('reference data not available')
+    return REFERENCE_DIR
