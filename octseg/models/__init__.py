@@ -1,0 +1,96 @@
+"""Model registry: create_model(arch, encoder_name, ...) — SMP-compatible API.
+
+Accepts the architecture spellings used across the reference configs
+(configs/tune.yaml:10-19 uses 'Unet'/'UnetPlusPlus'/'DeepLabV3'/..., while
+configs/train.yaml uses lowercase 'unet').
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from octseg.models.base import SegmentationModel
+from octseg.models.decoders.deeplab import DeepLabV3Decoder, DeepLabV3PlusDecoder
+from octseg.models.decoders.fpn import FPNDecoder
+from octseg.models.decoders.linknet import LinkNetDecoder
+from octseg.models.decoders.manet import MAnetDecoder
+from octseg.models.decoders.pan import PANDecoder
+from octseg.models.decoders.pspnet import PSPDecoder
+from octseg.models.decoders.unet import UnetDecoder, UnetPlusPlusDecoder
+from octseg.models.encoders import (
+    SUPPORTED_ENCODERS,
+    create_encoder,
+    encoder_out_channels,
+    get_preprocessing_params,
+)
+
+# arch key -> (decoder class, encoder output_stride)
+_ARCHS = {
+    'unet': (UnetDecoder, 32),
+    'unetplusplus': (UnetPlusPlusDecoder, 32),
+    'linknet': (LinkNetDecoder, 32),
+    'fpn': (FPNDecoder, 32),
+    'pspnet': (PSPDecoder, 32),
+    'pan': (PANDecoder, 16),
+    'manet': (MAnetDecoder, 32),
+    'deeplabv3': (DeepLabV3Decoder, 8),
+    'deeplabv3plus': (DeepLabV3PlusDecoder, 16),
+}
+
+SUPPORTED_ARCHITECTURES = [
+    'Unet',
+    'UnetPlusPlus',
+    'LinkNet',
+    'FPN',
+    'PSPNet',
+    'PAN',
+    'MAnet',
+    'DeepLabV3',
+    'DeepLabV3Plus',
+]
+
+
+def normalize_arch(arch: str) -> str:
+    key = arch.lower().replace('_', '').replace('-', '').replace('++', 'plusplus')
+    if key not in _ARCHS:
+        raise ValueError(
+            f'Unknown architecture {arch!r}; supported: {SUPPORTED_ARCHITECTURES}'
+        )
+    return key
+
+
+def create_model(
+    arch: str,
+    encoder_name: str,
+    in_channels: int = 3,
+    classes: int = 1,
+    dtype: Any = jnp.float32,
+    **kwargs,
+) -> SegmentationModel:
+    """Build a segmentation model. ``classes`` is the number of output channels
+    (the reference passes len(classes), src/models/smp/model.py:42)."""
+    if in_channels != 3:
+        raise NotImplementedError('Only 3-channel input is supported (ref parity)')
+    key = normalize_arch(arch)
+    decoder_cls, output_stride = _ARCHS[key]
+    encoder = create_encoder(encoder_name, output_stride=output_stride, dtype=dtype)
+    decoder = decoder_cls(dtype=dtype, **kwargs)
+    return SegmentationModel(
+        encoder=encoder,
+        decoder=decoder,
+        classes=classes,
+        head_upsampling=decoder.upsampling,
+    )
+
+
+__all__ = [
+    'create_model',
+    'normalize_arch',
+    'get_preprocessing_params',
+    'encoder_out_channels',
+    'SUPPORTED_ARCHITECTURES',
+    'SUPPORTED_ENCODERS',
+    'SegmentationModel',
+]

@@ -1,0 +1,44 @@
+"""SegmentationModel: encoder → decoder → segmentation head.
+
+The octseg equivalent of smp.create_model-produced torch modules (reference:
+src/models/smp/model.py:38-44). NHWC in, NHWC multilabel logits out — one
+channel per selected class, channel order = the order of ``classes`` in the
+model config (reference contract: src/models/smp/dataset.py:114-118).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from octseg.models.common import upsample
+
+
+class SegmentationHead(nn.Module):
+    classes: int
+    upsampling: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.classes, (3, 3), padding='SAME', dtype=self.dtype)(x)
+        if self.upsampling > 1:
+            x = upsample(x, self.upsampling, method='bilinear')
+        return x.astype(jnp.float32)  # logits always fp32 for stable loss
+
+
+class SegmentationModel(nn.Module):
+    encoder: nn.Module
+    decoder: nn.Module
+    classes: int
+    head_upsampling: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        features = self.encoder(x, train=train)
+        y = self.decoder(features, train=train)
+        return SegmentationHead(
+            self.classes, self.head_upsampling, dtype=y.dtype
+        )(y)

@@ -1,0 +1,126 @@
+"""Shared NHWC Flax building blocks for encoders and decoders.
+
+All convolutions run in NHWC (TPU-native layout; XLA tiles the channel axis
+onto the MXU lanes). Compute dtype is configurable (bfloat16 by default on
+TPU) while parameters stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def get_activation(name: Optional[str]) -> Callable:
+    if name is None or name == 'identity':
+        return lambda x: x
+    return {
+        'relu': nn.relu,
+        'swish': nn.swish,
+        'silu': nn.swish,
+        'sigmoid': jax.nn.sigmoid,
+        'tanh': jnp.tanh,
+        'gelu': nn.gelu,
+    }[name]
+
+
+class ConvBNAct(nn.Module):
+    """Conv → BatchNorm → activation, the workhorse block."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    dilation: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    act: Optional[str] = 'relu'
+    use_bn: bool = True
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            kernel_dilation=self.dilation,
+            feature_group_count=self.groups,
+            padding='SAME',
+            use_bias=self.use_bias or not self.use_bn,
+            dtype=self.dtype,
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+            )(x)
+        return get_activation(self.act)(x)
+
+
+class SqueezeExcite(nn.Module):
+    """Squeeze-and-excitation channel gate."""
+
+    reduced_features: int
+    gate_act: str = 'sigmoid'
+    act: str = 'relu'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.reduced_features, (1, 1), dtype=self.dtype)(s)
+        s = get_activation(self.act)(s)
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype)(s)
+        return x * get_activation(self.gate_act)(s)
+
+
+def upsample(x: jnp.ndarray, scale: int = 2, method: str = 'nearest') -> jnp.ndarray:
+    """Spatial upsample by an integer factor (static shapes, XLA-friendly)."""
+    n, h, w, c = x.shape
+    if method == 'nearest':
+        # broadcast-trick upsample: reshape-tile-reshape lowers to cheap
+        # reshapes/broadcasts in XLA (no gather)
+        x = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (n, h, scale, w, scale, c)
+        ).reshape(n, h * scale, w * scale, c)
+        return x
+    return jax.image.resize(x, (n, h * scale, w * scale, c), method='bilinear')
+
+
+def resize_to(x: jnp.ndarray, size: Tuple[int, int], method: str = 'bilinear') -> jnp.ndarray:
+    n, _, _, c = x.shape
+    if x.shape[1:3] == tuple(size):
+        return x
+    return jax.image.resize(x, (n, size[0], size[1], c), method=method)
+
+
+class Attention2D(nn.Module):
+    """scSE attention (spatial + channel squeeze-excitation) used by U-Net/MA-Net
+    style decoders when attention_type='scse'."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # channel SE
+        c = jnp.mean(x, axis=(1, 2), keepdims=True)
+        c = nn.Conv(max(x.shape[-1] // 16, 1), (1, 1), dtype=self.dtype)(c)
+        c = nn.relu(c)
+        c = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype)(c)
+        cse = x * jax.nn.sigmoid(c)
+        # spatial SE
+        s = nn.Conv(1, (1, 1), dtype=self.dtype)(x)
+        sse = x * jax.nn.sigmoid(s)
+        return cse + sse
+
+
+def fixed_padding_pool(x: jnp.ndarray, window: int = 3, stride: int = 2) -> jnp.ndarray:
+    """Max pool with SAME padding."""
+    return nn.max_pool(x, (window, window), strides=(stride, stride), padding='SAME')

@@ -1,0 +1,47 @@
+"""LinkNet decoder: channel-reduced transposed-conv blocks with additive skips.
+
+Capability parity target: SMP Linknet (winning FC_LC model in the reference is
+LinkNet/efficientnet-b7 — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from octseg.models.common import ConvBNAct, upsample
+
+
+class LinkNetDecoderBlock(nn.Module):
+    out_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_features = x.shape[-1]
+        y = ConvBNAct(in_features // 4, (1, 1), dtype=self.dtype)(x, train)
+        y = upsample(y, 2)
+        y = ConvBNAct(in_features // 4, (3, 3), dtype=self.dtype)(y, train)
+        y = ConvBNAct(self.out_features, (1, 1), dtype=self.dtype)(y, train)
+        return y
+
+
+class LinkNetDecoder(nn.Module):
+    prefinal_channels: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, train: bool = False):
+        skips = [features[4], features[3], features[2], features[1]]
+        x = features[5]
+        for skip in skips:
+            x = LinkNetDecoderBlock(skip.shape[-1], dtype=self.dtype)(x, train)
+            x = x + skip
+        x = LinkNetDecoderBlock(self.prefinal_channels, dtype=self.dtype)(x, train)
+        return x  # full resolution
+
+    @property
+    def upsampling(self) -> int:
+        return 1
