@@ -1,0 +1,107 @@
+"""Batched projective/affine warping on device (the augmentation sampler).
+
+Replaces the cv2.warpAffine / cv2.warpPerspective calls inside albumentations'
+ShiftScaleRotate and Perspective transforms (reference:
+src/models/smp/dataset.py:168-194) with a gather-based sampler that runs
+inside the jitted train step. Inverse mapping: ``matrix`` maps output pixel
+coordinates (x, y, 1) to input coordinates.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _sample_bilinear(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
+                     border_value: float) -> jnp.ndarray:
+    h, w, c = img.shape
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    wx = (xs - x0)[..., None]
+    wy = (ys - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+        return jnp.where(valid[..., None], v, border_value)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _sample_nearest(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
+                    border_value: float) -> jnp.ndarray:
+    h, w, c = img.shape
+    xi = jnp.round(xs).astype(jnp.int32)
+    yi = jnp.round(ys).astype(jnp.int32)
+    valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+    return jnp.where(valid[..., None], v, border_value)
+
+
+def warp_single(img: jnp.ndarray, matrix: jnp.ndarray, interp: str = 'bilinear',
+                border_value: float = 0.0) -> jnp.ndarray:
+    """Warp one HWC image by a 3x3 inverse-mapping homography."""
+    h, w, _ = img.shape
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing='ij'
+    )
+    ones = jnp.ones_like(xs)
+    coords = jnp.stack([xs, ys, ones], axis=-1)  # (H, W, 3) output homogeneous
+    src = coords @ matrix.T
+    sx = src[..., 0] / src[..., 2]
+    sy = src[..., 1] / src[..., 2]
+    if interp == 'bilinear':
+        return _sample_bilinear(img, sx, sy, border_value)
+    return _sample_nearest(img, sx, sy, border_value)
+
+
+def warp_batch(imgs: jnp.ndarray, matrices: jnp.ndarray, interp: str = 'bilinear',
+               border_value: float = 0.0) -> jnp.ndarray:
+    """Warp (N,H,W,C) by per-sample (N,3,3) inverse homographies."""
+    return jax.vmap(lambda im, m: warp_single(im, m, interp, border_value))(imgs, matrices)
+
+
+def affine_matrix(shift_x, shift_y, scale, angle_rad, center_x, center_y) -> jnp.ndarray:
+    """Inverse-mapping matrix for shift+scale+rotate about an image center.
+
+    Forward op: rotate by angle & scale about center, then translate by shift.
+    Positive angle rotates counter-clockwise in image (y-down) coordinates,
+    matching cv2.getRotationMatrix2D. Returns the inverse (output→input)
+    3x3 matrix for warp_single.
+    """
+    cos = jnp.cos(angle_rad) / scale
+    sin = -jnp.sin(angle_rad) / scale
+    # inverse of [R*s | t] is [R^T/s | -R^T/s (t)] with t = shift + (I-R*s)c
+    # build directly: src = R^T/s (dst - c - shift) + c
+    m00, m01 = cos, sin
+    m10, m11 = -sin, cos
+    tx = center_x - m00 * (center_x + shift_x) - m01 * (center_y + shift_y)
+    ty = center_y - m10 * (center_x + shift_x) - m11 * (center_y + shift_y)
+    return jnp.array([[m00, m01, tx], [m10, m11, ty], [0.0, 0.0, 1.0]])
+
+
+def perspective_from_corners(src_pts: jnp.ndarray, dst_pts: jnp.ndarray) -> jnp.ndarray:
+    """Solve the 3x3 homography mapping dst_pts -> src_pts (inverse mapping),
+    from 4 point pairs ((4,2) each). Standard DLT with an 8x8 solve."""
+    # We want M with src = M @ dst (homogeneous).
+    x = dst_pts[:, 0]
+    y = dst_pts[:, 1]
+    u = src_pts[:, 0]
+    v = src_pts[:, 1]
+    zeros = jnp.zeros(4)
+    ones = jnp.ones(4)
+    a_u = jnp.stack([x, y, ones, zeros, zeros, zeros, -u * x, -u * y], axis=1)
+    a_v = jnp.stack([zeros, zeros, zeros, x, y, ones, -v * x, -v * y], axis=1)
+    a = jnp.concatenate([a_u, a_v], axis=0)
+    b = jnp.concatenate([u, v], axis=0)
+    h = jnp.linalg.solve(a, b)
+    return jnp.concatenate([h, jnp.ones(1)]).reshape(3, 3)

@@ -1,0 +1,137 @@
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from octseg.ops.morphology import (
+    ELLIPSE_5,
+    ELLIPSE_7,
+    close,
+    dilate,
+    ellipse_kernel,
+    erode,
+    gaussian_blur5,
+)
+from octseg.ops.normalize import normalize_imagenet, sigmoid_threshold
+from octseg.ops.resize import resize_bilinear, resize_nearest
+
+
+@pytest.fixture
+def img_u8(rng):
+    return rng.integers(0, 256, (96, 80, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize('size', [(48, 40), (64, 64), (192, 160), (512, 512)])
+def test_resize_nearest_cv2_parity(img_u8, size):
+    ours = np.asarray(resize_nearest(jnp.asarray(img_u8, jnp.float32), size))
+    ref = cv2.resize(img_u8, (size[1], size[0]), interpolation=cv2.INTER_NEAREST)
+    np.testing.assert_array_equal(ours.astype(np.uint8), ref)
+
+
+@pytest.mark.parametrize('size', [(48, 40), (192, 160)])
+def test_resize_bilinear_cv2_parity(img_u8, size):
+    ours = np.asarray(resize_bilinear(jnp.asarray(img_u8, jnp.float32), size))
+    ref = cv2.resize(img_u8.astype(np.float32), (size[1], size[0]),
+                     interpolation=cv2.INTER_LINEAR)
+    # cv2 uses fixed-point arithmetic internally; allow tiny tolerance
+    np.testing.assert_allclose(ours, ref, atol=1.0)
+
+
+def test_structuring_elements_match_cv2():
+    np.testing.assert_array_equal(
+        ELLIPSE_5, cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (5, 5)).astype(np.float32)
+    )
+    np.testing.assert_array_equal(
+        ELLIPSE_7, cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (7, 7)).astype(np.float32)
+    )
+    for size in (3, 9, 11):
+        np.testing.assert_array_equal(
+            ellipse_kernel(size),
+            cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (size, size)).astype(np.float32),
+            err_msg=f'size={size}',
+        )
+
+
+def test_morphology_cv2_parity(rng):
+    m = (rng.random((64, 64)) > 0.75).astype(np.float32)
+    jm = jnp.asarray(m)
+    k5 = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (5, 5))
+    k7 = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (7, 7))
+    np.testing.assert_array_equal(np.asarray(dilate(jm, ELLIPSE_7)), cv2.dilate(m, k7))
+    np.testing.assert_array_equal(np.asarray(erode(jm, ELLIPSE_7)), cv2.erode(m, k7))
+    np.testing.assert_array_equal(
+        np.asarray(close(jm, ELLIPSE_5)), cv2.morphologyEx(m, cv2.MORPH_CLOSE, k5)
+    )
+
+
+def test_gaussian_blur_cv2_parity(rng):
+    m = rng.random((64, 64)).astype(np.float32)
+    ours = np.asarray(gaussian_blur5(jnp.asarray(m)))
+    ref = cv2.GaussianBlur(m, (5, 5), 0)
+    # cv2's separable filter engine accumulates in a different order; the
+    # residual is ~2e-3 on unit-scale data (< 1 uint8 level at 255 scale)
+    np.testing.assert_allclose(ours, ref, atol=5e-3)
+
+
+def test_normalize():
+    x = jnp.ones((1, 4, 4, 3)) * 0.5
+    y = normalize_imagenet(x)
+    expected = (0.5 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+    np.testing.assert_allclose(np.asarray(y[0, 0, 0]), expected, rtol=1e-5)
+
+
+def test_sigmoid_threshold_equals_reference_semantics(rng):
+    logits = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    ours = np.asarray(sigmoid_threshold(logits))
+    ref = (jax.nn.sigmoid(logits) > 0.5).astype(np.float32)
+    np.testing.assert_array_equal(ours, np.asarray(ref))
+
+
+class TestAugment:
+    def test_shapes_and_determinism(self, rng):
+        from octseg.ops.augment import augment_batch
+
+        imgs = jnp.asarray(rng.integers(0, 256, (4, 64, 64, 3)).astype(np.float32))
+        masks = jnp.asarray((rng.random((4, 64, 64, 2)) > 0.5).astype(np.float32))
+        key = jax.random.PRNGKey(7)
+        out1 = augment_batch(imgs, masks, key)
+        out2 = augment_batch(imgs, masks, key)
+        assert out1[0].shape == imgs.shape and out1[1].shape == masks.shape
+        np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
+        # masks stay binary
+        assert set(np.unique(np.asarray(out1[1]))) <= {0.0, 1.0}
+        # different key -> different result
+        out3 = augment_batch(imgs, masks, jax.random.PRNGKey(8))
+        assert not np.array_equal(np.asarray(out1[0]), np.asarray(out3[0]))
+
+    def test_hflip_probability(self, rng):
+        from octseg.ops.augment import augment_batch
+
+        # asymmetric image: flips detectable; estimate flip rate over batch
+        imgs = np.zeros((64, 32, 32, 3), np.float32)
+        imgs[:, :, :16, :] = 255.0
+        masks = np.zeros((64, 32, 32, 1), np.float32)
+        out, _ = augment_batch(jnp.asarray(imgs), jnp.asarray(masks), jax.random.PRNGKey(0))
+        flipped = (np.asarray(out)[:, 0, -1, 0] > 128).sum()
+        assert 15 <= flipped <= 49  # ~Binomial(64, 0.5)
+
+    def test_warp_affine_identity(self, rng):
+        from octseg.ops.warp import warp_single
+
+        img = jnp.asarray(rng.random((16, 16, 3)).astype(np.float32))
+        out = warp_single(img, jnp.eye(3), 'bilinear')
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+    def test_warp_matches_cv2_rotation(self, rng):
+        from octseg.ops.warp import affine_matrix, warp_single
+
+        img = rng.random((32, 32, 1)).astype(np.float32)
+        angle_deg = 30.0
+        m_ours = affine_matrix(0.0, 0.0, 1.0, np.deg2rad(angle_deg), 15.5, 15.5)
+        ours = np.asarray(warp_single(jnp.asarray(img), m_ours, 'bilinear'))[:, :, 0]
+        m_cv = cv2.getRotationMatrix2D((15.5, 15.5), angle_deg, 1.0)
+        ref = cv2.warpAffine(img[:, :, 0], m_cv, (32, 32), flags=cv2.INTER_LINEAR,
+                             borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+        interior = np.s_[4:-4, 4:-4]
+        np.testing.assert_allclose(ours[interior], ref[interior], atol=2e-2)
