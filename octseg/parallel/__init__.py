@@ -1,0 +1,15 @@
+from octseg.parallel.sharding import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    'make_mesh',
+    'batch_sharding',
+    'replicated_sharding',
+    'shard_batch',
+    'replicate',
+]

@@ -1,0 +1,85 @@
+"""Checkpointing: single-file weights for inference + full-state resume.
+
+Mirrors the reference's artifact contract — a ``weights.ckpt`` file next to a
+``config.json`` manifest per model dir (reference: src/models/smp/train.py:
+105-119 manifest; predict.py:31-50 loads both) — and adds what the reference
+lacks (SURVEY.md §5): a resume checkpoint carrying optimizer state and epoch
+so training restarts continue where they left off.
+
+Format is flax msgpack (single file, atomic rename), chosen over directory
+checkpoints so the model dir layout stays byte-compatible with the reference
+(weights.ckpt + config.json + metrics.csv).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+from flax import serialization
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def save_weights(path: str, params: Any, batch_stats: Any) -> None:
+    payload = {'params': params, 'batch_stats': batch_stats}
+    _atomic_write(path, serialization.msgpack_serialize(
+        serialization.to_state_dict(payload)))
+
+
+def load_weights(path: str) -> Dict[str, Any]:
+    with open(path, 'rb') as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def restore_weights_into(variables: Dict[str, Any], path: str) -> Dict[str, Any]:
+    """Restore a weights.ckpt into a freshly-initialized variables tree."""
+    raw = load_weights(path)
+    return {
+        'params': serialization.from_state_dict(variables['params'], raw['params']),
+        'batch_stats': serialization.from_state_dict(
+            variables['batch_stats'], raw['batch_stats']
+        ),
+    }
+
+
+def save_resume(path: str, state: Any, epoch: int, extra: Optional[dict] = None) -> None:
+    payload = {
+        'state': serialization.to_state_dict(state),
+        'epoch': epoch,
+        'extra': extra or {},
+    }
+    _atomic_write(path, serialization.msgpack_serialize(payload))
+
+
+def load_resume(path: str, state_template: Any) -> Tuple[Any, int, dict]:
+    with open(path, 'rb') as f:
+        raw = serialization.msgpack_restore(f.read())
+    state = serialization.from_state_dict(state_template, raw['state'])
+    return state, int(raw['epoch']), dict(raw.get('extra', {}))
+
+
+def save_manifest(model_dir: str, cfg: Any, model_name: str) -> None:
+    """config.json with the exact reference keys (train.py:105-119)."""
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, 'config.json'), 'w') as f:
+        json.dump(
+            {
+                'model_name': model_name,
+                'architecture': cfg.architecture,
+                'encoder': cfg.encoder,
+                'input_size': cfg.input_size,
+                'classes': list(cfg.classes),
+                'batch_size': cfg.batch_size,
+                'optimizer': cfg.optimizer,
+                'lr': cfg.lr,
+            },
+            f,
+            indent=2,
+        )

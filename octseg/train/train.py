@@ -1,0 +1,225 @@
+"""Training entry point: pjit data-parallel epoch loop with on-device augment.
+
+Framework equivalent of the reference trainer (reference:
+src/models/smp/train.py + the LightningModule loop in model.py:73-148), built
+TPU-first:
+- one jitted train step: device augmentation → normalize → forward/backward →
+  optimizer update, with the batch axis sharded over the ICI mesh and params
+  replicated (XLA inserts the gradient psums);
+- host side only decodes/resizes and prefetches (octseg.train.data);
+- metrics.csv keeps the exact reference schema; weights.ckpt + config.json
+  keep the reference model-dir contract; resume.ckpt adds crash recovery.
+
+Config: configs/train.yaml (same keys as the reference train.yaml).
+Usage: python -m octseg.train.train [key=value ...]
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from octseg.core.config import Config, entry_point
+from octseg.models import create_model
+from octseg.ops.augment import augment_pair
+from octseg.ops.normalize import normalize_imagenet, sigmoid_threshold
+from octseg.parallel.sharding import batch_sharding, make_mesh, replicate, replicated_sharding
+from octseg.train import checkpoint as ckpt
+from octseg.train.data import OCTDataset, PrefetchLoader
+from octseg.train.losses import dice_loss_from_logits
+from octseg.train.metrics import compute_metrics, save_metrics_on_epoch
+from octseg.train.state import TrainState, make_optimizer
+
+log = logging.getLogger(__name__)
+
+
+def _loss_and_metrics(model, params, batch_stats, imgs, masks, train: bool,
+                      dropout_key=None):
+    x = normalize_imagenet(imgs)
+    variables = {'params': params, 'batch_stats': batch_stats}
+    if train:
+        logits, mutated = model.apply(
+            variables, x, train=True, mutable=['batch_stats'],
+            rngs={'dropout': dropout_key},
+        )
+        new_stats = mutated['batch_stats']
+    else:
+        logits = model.apply(variables, x, train=False)
+        new_stats = batch_stats
+    loss = dice_loss_from_logits(logits, masks)
+    return loss, (logits, new_stats)
+
+
+def make_train_step(model, use_augmentation: bool):
+    def train_step(state: TrainState, imgs, masks, key):
+        aug_key, dropout_key = jax.random.split(key)
+        if use_augmentation:
+            keys = jax.random.split(aug_key, imgs.shape[0])
+            imgs, masks = jax.vmap(augment_pair)(imgs, masks, keys)
+
+        grad_fn = jax.value_and_grad(
+            lambda p: _loss_and_metrics(
+                model, p, state.batch_stats, imgs, masks, True, dropout_key
+            ),
+            has_aux=True,
+        )
+        (loss, (logits, new_stats)), grads = grad_fn(state.params)
+        state = state.apply_gradients(grads, new_stats)
+        pred = sigmoid_threshold(logits)
+        metrics = compute_metrics(pred, masks, loss)
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model):
+    def eval_step(state: TrainState, imgs, masks):
+        loss, (logits, _) = _loss_and_metrics(
+            model, state.params, state.batch_stats, imgs, masks, False
+        )
+        pred = sigmoid_threshold(logits)
+        return compute_metrics(pred, masks, loss)
+
+    return eval_step
+
+
+def pick_mesh_size(batch_size: int, n_devices: int) -> int:
+    """Largest device count <= n_devices that divides the batch size."""
+    for n in range(min(batch_size, n_devices), 0, -1):
+        if batch_size % n == 0:
+            return n
+    return 1
+
+
+def train_model(cfg: Config, model_dir: Optional[str] = None) -> dict:
+    """Run one training; returns summary dict (best metrics). Reusable by the
+    tuner and the 5-fold driver."""
+    classes = list(cfg.classes)
+    model_name = cfg.get('model_name') or f"{cfg.architecture}_{cfg.encoder}"
+    model_dir = model_dir or os.path.join(cfg.get('save_dir', 'models'), model_name)
+    os.makedirs(model_dir, exist_ok=True)
+    ckpt.save_manifest(model_dir, cfg, model_name)
+
+    train_set = OCTDataset(
+        os.path.join(cfg.data_dir, 'train'), classes, cfg.input_size
+    )
+    val_set = OCTDataset(os.path.join(cfg.data_dir, 'test'), classes, cfg.input_size)
+
+    n_mesh = pick_mesh_size(cfg.batch_size, jax.device_count())
+    mesh = make_mesh(n_mesh)
+    log.info('Training on a %d-device mesh (%s)', n_mesh, jax.devices()[0].platform)
+    data_shard = batch_sharding(mesh)
+    repl = replicated_sharding(mesh)
+
+    model = create_model(
+        cfg.architecture, cfg.encoder, in_channels=3, classes=len(classes)
+    )
+    rng = jax.random.PRNGKey(cfg.get('seed', 11))
+    init_rng, loop_rng = jax.random.split(rng)
+    sample = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), jnp.float32)
+    variables = model.init(
+        {'params': init_rng, 'dropout': init_rng}, sample, train=False
+    )
+    tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.get('weight_decay', 0.0))
+    state = TrainState.create(variables['params'], variables['batch_stats'], tx)
+    state = replicate(state, mesh)
+
+    train_step = jax.jit(
+        make_train_step(model, bool(cfg.get('use_augmentation', False))),
+        in_shardings=(None, data_shard, data_shard, repl),
+        donate_argnums=(0,),
+    )
+    eval_step = jax.jit(
+        make_eval_step(model), in_shardings=(None, data_shard, data_shard)
+    )
+
+    train_loader = PrefetchLoader(
+        train_set, cfg.batch_size, shuffle=True, drop_last=True,
+        seed=cfg.get('seed', 11),
+    )
+    val_loader = PrefetchLoader(val_set, cfg.batch_size, shuffle=False, drop_last=False)
+
+    start_epoch = 1
+    best = {'val_loss': float('inf')}
+    best_metrics: dict = {}
+    resume_path = os.path.join(model_dir, 'resume.ckpt')
+    if cfg.get('resume', False) and os.path.exists(resume_path):
+        state, last_epoch, extra = ckpt.load_resume(resume_path, state)
+        state = replicate(state, mesh)
+        start_epoch = last_epoch + 1
+        best['val_loss'] = extra.get('best_val_loss', float('inf'))
+        log.info('Resumed from %s at epoch %d', resume_path, last_epoch)
+
+    summary = {}
+    for epoch in range(start_epoch, int(cfg.epochs) + 1):
+        t0 = time.time()
+        train_metrics = []
+        for step, (imgs, masks) in enumerate(train_loader):
+            key = jax.random.fold_in(loop_rng, epoch * 100003 + step)
+            imgs = jax.device_put(imgs, data_shard)
+            masks = jax.device_put(masks, data_shard)
+            state, metrics = train_step(state, imgs, masks, key)
+            train_metrics.append(jax.tree.map(np.asarray, metrics))
+        save_metrics_on_epoch(train_metrics, 'train', model_dir, classes, epoch)
+
+        val_metrics = []
+        for imgs, masks in val_loader:
+            n = imgs.shape[0]
+            pad = (-n) % n_mesh
+            if pad:  # pad partial batches to the mesh, then drop the padding
+                imgs = np.concatenate([imgs, imgs[:pad]], axis=0)
+                masks = np.concatenate([masks, masks[:pad]], axis=0)
+            m = eval_step(
+                state,
+                jax.device_put(imgs, data_shard),
+                jax.device_put(masks, data_shard),
+            )
+            m = jax.tree.map(np.asarray, m)
+            if pad:
+                m = {k: (v if v.ndim == 0 else v[:n]) for k, v in m.items()}
+            val_metrics.append(m)
+        best_metrics = save_metrics_on_epoch(
+            val_metrics, 'test', model_dir, classes, epoch, best_metrics
+        )
+
+        val_loss = float(np.mean([np.asarray(m['loss']) for m in val_metrics]))
+        val_f1 = float(
+            np.mean([np.asarray(m['f1']).mean() for m in val_metrics])
+        )
+        log.info(
+            'epoch %d  val/loss %.4f  val/f1 %.4f  (%.1f s)',
+            epoch, val_loss, val_f1, time.time() - t0,
+        )
+        if val_loss < best['val_loss']:  # ModelCheckpoint(val/loss, min) parity
+            best['val_loss'] = val_loss
+            ckpt.save_weights(
+                os.path.join(model_dir, 'weights.ckpt'), state.params, state.batch_stats
+            )
+        ckpt.save_resume(resume_path, state, epoch, {'best_val_loss': best['val_loss']})
+        summary = {
+            'best_val_loss': best['val_loss'],
+            'last_val_f1': val_f1,
+            'best_metrics': best_metrics,
+            'epochs_done': epoch,
+        }
+    return summary
+
+
+@entry_point('train')
+def main(cfg: Config) -> None:
+    t = time.strftime('%d%m_%H%M')
+    model_name = f'{cfg.architecture}_{cfg.encoder}_{t}'  # ref train.py:38
+    cfg['model_name'] = model_name
+    summary = train_model(cfg)
+    log.info('Complete: %s', summary)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,132 @@
+import os
+
+import numpy as np
+import pytest
+
+from octseg.core.config import Config
+from octseg.data.io import imwrite, imwrite_mask_tiff
+
+
+def make_fold(root, n_train=8, n_test=4, size=64, rng=None):
+    rng = rng or np.random.default_rng(3)
+    for split, n in (('train', n_train), ('test', n_test)):
+        os.makedirs(f'{root}/{split}/img', exist_ok=True)
+        os.makedirs(f'{root}/{split}/mask', exist_ok=True)
+        for i in range(n):
+            # bright disk = "lumen"
+            img = rng.integers(0, 60, (size, size, 3), dtype=np.uint8)
+            yy, xx = np.mgrid[:size, :size]
+            cy, cx = rng.integers(size // 3, 2 * size // 3, 2)
+            r = rng.integers(size // 8, size // 4)
+            disk = ((yy - cy) ** 2 + (xx - cx) ** 2) < r * r
+            img[disk] = [200, 180, 220]
+            mask = np.zeros((size, size, 4), np.uint8)
+            mask[:, :, 0] = disk.astype(np.uint8) * 255
+            imwrite(f'{root}/{split}/img/{i:03d}.png', img)
+            imwrite_mask_tiff(f'{root}/{split}/mask/{i:03d}.tiff', mask)
+    return root
+
+
+@pytest.fixture(scope='module')
+def fold_dir(tmp_path_factory):
+    return make_fold(str(tmp_path_factory.mktemp('fold')))
+
+
+def test_dataset_and_loader(fold_dir):
+    from octseg.train.data import OCTDataset, PrefetchLoader
+
+    ds = OCTDataset(f'{fold_dir}/train', ['Lumen'], input_size=64)
+    assert len(ds) == 8
+    img, mask = ds.load(0)
+    assert img.shape == (64, 64, 3) and mask.shape == (64, 64, 1)
+    assert set(np.unique(mask)) <= {0.0, 1.0}
+
+    loader = PrefetchLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0][0].shape == (4, 64, 64, 3)
+    # reshuffles between epochs
+    b2 = list(loader)
+    assert not np.array_equal(batches[0][0], b2[0][0]) or not np.array_equal(
+        batches[1][0], b2[1][0]
+    )
+
+
+def test_dice_loss_matches_reference_formula(rng):
+    import jax.numpy as jnp
+
+    from octseg.train.losses import dice_loss_from_logits
+
+    logits = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    targets = (rng.random((2, 16, 16, 3)) > 0.5).astype(np.float32)
+    # reference formula (smp DiceLoss multilabel from_logits), numpy
+    probs = 1 / (1 + np.exp(-logits))
+    inter = (probs * targets).sum(axis=(0, 1, 2))
+    card = (probs + targets).sum(axis=(0, 1, 2))
+    expected = (1 - 2 * inter / np.clip(card, 1e-7, None)).mean()
+    got = float(dice_loss_from_logits(jnp.asarray(logits), jnp.asarray(targets)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_metrics_formulas(rng):
+    import jax.numpy as jnp
+
+    from octseg.train.metrics import compute_metrics
+
+    pred = (rng.random((4, 8, 8, 2)) > 0.5).astype(np.float32)
+    target = (rng.random((4, 8, 8, 2)) > 0.5).astype(np.float32)
+    m = compute_metrics(jnp.asarray(pred), jnp.asarray(target), jnp.float32(0.5))
+    tp = (pred * target).sum(axis=(1, 2))
+    fp = (pred * (1 - target)).sum(axis=(1, 2))
+    fn = ((1 - pred) * target).sum(axis=(1, 2))
+    iou = tp / (tp + fp + fn)
+    np.testing.assert_allclose(np.asarray(m['iou']), iou, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m['dice']), 2 * iou / (iou + 1), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(m['f1']), 2 * tp / (2 * tp + fp + fn), rtol=1e-5
+    )
+
+
+def test_train_loop_end_to_end(fold_dir, tmp_path):
+    """2-epoch training on the 8-device CPU mesh; checks the model-dir contract."""
+    import pandas as pd
+
+    from octseg.train.train import train_model
+
+    cfg = Config(
+        data_dir=fold_dir,
+        classes=['Lumen'],
+        architecture='Unet',
+        encoder='resnet18',
+        optimizer='Adam',
+        lr=1e-3,
+        weight_decay=1e-4,
+        input_size=64,
+        batch_size=4,
+        epochs=2,
+        use_augmentation=True,
+        save_dir=str(tmp_path / 'models'),
+        model_name='test_model',
+        seed=11,
+    )
+    summary = train_model(cfg)
+    model_dir = tmp_path / 'models' / 'test_model'
+    assert (model_dir / 'weights.ckpt').exists()
+    assert (model_dir / 'config.json').exists()
+    assert (model_dir / 'resume.ckpt').exists()
+    df = pd.read_csv(model_dir / 'metrics.csv')
+    assert list(df.columns) == [
+        'Epoch', 'Loss', 'IoU', 'Dice', 'Precision', 'Recall', 'F1', 'Split', 'Class',
+    ]
+    assert set(df['Split']) == {'train', 'test'}
+    assert set(df['Class']) == {'Lumen', 'Mean'}
+    assert df['Epoch'].max() == 2
+    assert summary['epochs_done'] == 2
+
+    # resume: continue to epoch 3
+    cfg['epochs'] = 3
+    cfg['resume'] = True
+    summary2 = train_model(cfg)
+    assert summary2['epochs_done'] == 3
+    df2 = pd.read_csv(model_dir / 'metrics.csv')
+    assert df2['Epoch'].max() == 3
