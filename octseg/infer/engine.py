@@ -1,0 +1,160 @@
+"""Device-resident batched inference engine with frame-axis sharding.
+
+Replaces the reference's per-frame, per-class host loop (reference:
+src/predict.py:85-100 — one host→device→host round trip per frame per class)
+with whole-pullback batching: frames are padded to a static block size,
+sharded over the ICI mesh along the frame axis (the OCT analog of sequence
+parallelism, SURVEY.md §5), and stay on device through forward + sigmoid
+threshold + nearest resize to output size. One host sync per model.
+
+Parity notes: the reference's predict() bypasses mean/std normalization
+(calls self.model, not forward — src/models/smp/model.py:183-200, SURVEY §2.2)
+and feeds BGR uint8-valued floats; both quirks are preserved so checkpoints
+behave identically.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import logging
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from octseg.data.utils import preprocessing_img
+from octseg.models import create_model
+from octseg.ops.normalize import sigmoid_threshold
+from octseg.ops.resize import resize_nearest
+from octseg.parallel.sharding import batch_sharding, make_mesh, replicated_sharding
+from octseg.train.checkpoint import restore_weights_into
+
+log = logging.getLogger(__name__)
+
+# Routing table: class -> (model dir, output channel). Reference contract
+# (src/predict.py:23-28).
+MODELS_META = {
+    'Lumen': {'model_dir': 'LM', 'index': 0},
+    'Lipid core': {'model_dir': 'FC_LC', 'index': 0},
+    'Fibrous cap': {'model_dir': 'FC_LC', 'index': 1},
+    'Vasa vasorum': {'model_dir': 'VV', 'index': 0},
+}
+
+
+def load_model_bundle(model_dir: str) -> Tuple[object, dict, dict]:
+    """Load (model, variables, config) from a reference-layout model dir
+    (config.json + weights.ckpt)."""
+    with open(os.path.join(model_dir, 'config.json')) as f:
+        model_cfg = json.load(f)
+    model = create_model(
+        model_cfg['architecture'],
+        model_cfg['encoder'],
+        in_channels=3,
+        classes=len(model_cfg['classes']),
+    )
+    sample = jnp.zeros((1, model_cfg['input_size'], model_cfg['input_size'], 3), jnp.float32)
+    abstract = jax.eval_shape(
+        functools.partial(model.init, train=False),
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(0)},
+        sample,
+    )
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), abstract)
+    variables = restore_weights_into(
+        template, os.path.join(model_dir, 'weights.ckpt')
+    )
+    return model, variables, model_cfg
+
+
+class InferenceEngine:
+    """Hybrid per-feature ensemble predictor over a device mesh."""
+
+    def __init__(
+        self,
+        models_dir: str,
+        classes: Sequence[str],
+        block_size: int = 32,
+        mesh=None,
+    ):
+        self.classes = list(classes)
+        self.models_dir = models_dir
+        self.mesh = mesh or make_mesh()
+        self.n_devices = self.mesh.devices.size
+        # block size: static frame-chunk per forward, multiple of mesh size
+        self.block_size = max(block_size // self.n_devices, 1) * self.n_devices
+        self._bundles: Dict[str, tuple] = {}
+
+    def _bundle(self, model_dir_name: str):
+        if model_dir_name not in self._bundles:
+            path = os.path.join(self.models_dir, model_dir_name)
+            self._bundles[model_dir_name] = load_model_bundle(path)
+            log.info('Loaded model %s', path)
+        return self._bundles[model_dir_name]
+
+    @functools.lru_cache(maxsize=None)
+    def _forward_fn(self, model_dir_name: str, out_h: int, out_w: int):
+        model, variables, model_cfg = self._bundle(model_dir_name)
+        data_shard = batch_sharding(self.mesh)
+        repl = replicated_sharding(self.mesh)
+
+        def forward(variables, imgs):
+            # ref predict() parity: raw BGR 0..255 floats, no normalization
+            logits = model.apply(variables, imgs, train=False)
+            masks = sigmoid_threshold(logits)
+            return resize_nearest(masks, (out_h, out_w))
+
+        fn = jax.jit(forward, in_shardings=(repl, data_shard), out_shardings=data_shard)
+        variables = jax.device_put(variables, repl)
+        self._bundles[model_dir_name] = (model, variables, model_cfg)
+        return fn, variables, model_cfg
+
+    def run_model(
+        self, model_dir_name: str, images: List[Image.Image], output_size: Sequence[int]
+    ) -> np.ndarray:
+        """All frames through one model; returns (N, out_h, out_w, C) float32."""
+        out_h, out_w = int(output_size[0]), int(output_size[1])
+        fn, variables, model_cfg = self._forward_fn(model_dir_name, out_h, out_w)
+        input_size = model_cfg['input_size']
+        frames = np.stack(
+            [preprocessing_img(img.copy(), input_size) for img in images]
+        ).astype(np.float32)
+        n = frames.shape[0]
+        outs = []
+        bs = self.block_size
+        data_shard = batch_sharding(self.mesh)
+        for start in range(0, n, bs):
+            chunk = frames[start:start + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
+            out = fn(variables, jax.device_put(jnp.asarray(chunk), data_shard))
+            outs.append(np.asarray(out)[: bs - pad])
+        return np.concatenate(outs, axis=0)
+
+    def segment(
+        self,
+        images: List[Image.Image],
+        masks: List[np.ndarray],
+        output_size: Sequence[int],
+    ) -> List[np.ndarray]:
+        """Fill the (H, W, 4) masks for the selected classes (ref segment()
+        semantics, src/predict.py:61-101) — but each underlying model runs
+        exactly once even when it serves two classes (FC_LC)."""
+        from octseg.core.registry import CLASS_IDS
+
+        by_model: Dict[str, List[str]] = {}
+        for class_name in self.classes:
+            by_model.setdefault(MODELS_META[class_name]['model_dir'], []).append(class_name)
+
+        for model_dir_name, class_names in by_model.items():
+            pred = self.run_model(model_dir_name, images, output_size)
+            for class_name in class_names:
+                ch = MODELS_META[class_name]['index']
+                channel = pred[:, :, :, ch] if pred.ndim == 4 else pred
+                class_idx = CLASS_IDS[class_name] - 1
+                for i, mask in enumerate(masks):
+                    mask[:, :, class_idx] = channel[i]
+        return masks

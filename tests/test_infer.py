@@ -1,0 +1,166 @@
+import functools
+import json
+import os
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from octseg.train.checkpoint import save_weights
+
+
+def make_model_dir(root, name, classes, arch='Unet', encoder='resnet18', input_size=64):
+    from octseg.models import create_model
+
+    model_dir = os.path.join(root, name)
+    os.makedirs(model_dir, exist_ok=True)
+    model = create_model(arch, encoder, classes=len(classes))
+    sample = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(hash(name) % 2**31), 'dropout': jax.random.PRNGKey(0)},
+        sample, train=False,
+    )
+    save_weights(os.path.join(model_dir, 'weights.ckpt'),
+                 variables['params'], variables['batch_stats'])
+    with open(os.path.join(model_dir, 'config.json'), 'w') as f:
+        json.dump({
+            'model_name': f'{arch}_{encoder}',
+            'architecture': arch,
+            'encoder': encoder,
+            'input_size': input_size,
+            'classes': list(classes),
+            'batch_size': 4,
+            'optimizer': 'Adam',
+            'lr': 1e-4,
+        }, f)
+    return model_dir
+
+
+@pytest.fixture(scope='module')
+def models_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('models'))
+    make_model_dir(root, 'LM', ['Lumen'])
+    make_model_dir(root, 'FC_LC', ['Lipid core', 'Fibrous cap'])
+    make_model_dir(root, 'VV', ['Vasa vasorum'])
+    return root
+
+
+def test_engine_routing_and_shapes(models_dir, rng):
+    from octseg.infer.engine import InferenceEngine
+
+    images = [
+        Image.fromarray(rng.integers(0, 255, (100, 100, 3), dtype=np.uint8))
+        for _ in range(5)
+    ]
+    masks = [np.zeros((80, 80, 4)) for _ in images]
+    engine = InferenceEngine(models_dir, classes=[
+        'Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum',
+    ], block_size=4)
+    out = engine.segment(images, masks, output_size=[80, 80])
+    assert len(out) == 5
+    for m in out:
+        assert m.shape == (80, 80, 4)
+        assert set(np.unique(m)) <= {0.0, 1.0}
+
+    # channel routing parity: Fibrous cap = FC_LC output channel 1, into
+    # mask channel CLASS_IDS['Fibrous cap']-1 == 1
+    pred = engine.run_model('FC_LC', images, [80, 80])
+    np.testing.assert_array_equal(out[0][:, :, 1], pred[0][:, :, 1])
+    np.testing.assert_array_equal(out[0][:, :, 2], pred[0][:, :, 0])
+
+
+def test_engine_matches_unbatched_reference_semantics(models_dir, rng):
+    """Block-batched sharded inference == per-frame computation."""
+    from octseg.data.utils import preprocessing_img
+    from octseg.infer.engine import InferenceEngine, load_model_bundle
+    from octseg.ops.resize import resize_nearest
+
+    images = [
+        Image.fromarray(rng.integers(0, 255, (90, 90, 3), dtype=np.uint8))
+        for _ in range(3)
+    ]
+    engine = InferenceEngine(models_dir, classes=['Lumen'], block_size=8)
+    batched = engine.run_model('LM', images, [64, 64])
+
+    model, variables, model_cfg = load_model_bundle(os.path.join(models_dir, 'LM'))
+    for i, img in enumerate(images):
+        x = preprocessing_img(img.copy(), model_cfg['input_size']).astype(np.float32)
+        logits = model.apply(variables, jnp.asarray(x[None]), train=False)
+        ref = (np.asarray(jax.nn.sigmoid(logits[0])) > 0.5).astype(np.float32)
+        ref = np.asarray(resize_nearest(jnp.asarray(ref), (64, 64)))
+        np.testing.assert_array_equal(batched[i], ref)
+
+
+def test_save_results_reference_parity(rng, tmp_path):
+    """Byte parity of overlays with a direct cv2+PIL transcription of the
+    reference postprocessing chain (src/data/utils.py:195-235)."""
+    from octseg.core.registry import CLASS_COLORS_RGB, CLASS_IDS
+    from octseg.data.utils import save_results
+
+    h = w = 96
+    img = Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+    mask = np.zeros((h, w, 4))
+    mask[20:50, 30:70, 0] = 1.0  # Lumen blob
+    mask[60:80, 10:40, 3] = 1.0  # VV blob
+    classes = ['Lumen', 'Vasa vasorum']
+
+    ours_dir = tmp_path / 'ours'
+    save_results([img.copy()], [mask.copy()], ['t'], classes, str(ours_dir))
+
+    # --- reference chain, transcribed verbatim with cv2 + PIL ---
+    def union_pil(img, m, color, alpha=0.85):
+        m = m * alpha * 255
+        class_img = Image.new('RGB', size=img.size, color=color)
+        img.paste(class_img, (0, 0), Image.fromarray(m.astype('uint8')))
+        return img
+
+    ref_img = img.copy()
+    ref_color_mask = Image.new('RGB', size=ref_img.size, color=(128, 128, 128))
+    for class_name in classes:
+        m = mask[:, :, CLASS_IDS[class_name] - 1]
+        m = cv2.morphologyEx(
+            m, cv2.MORPH_CLOSE, cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (5, 5)), 3
+        )
+        m_d = cv2.dilate(m.copy(), cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (7, 7)))
+        m_e = cv2.erode(m.copy(), cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (7, 7)))
+        m = cv2.GaussianBlur(m, (5, 5), 0)
+        m_d[m_e > 0] = 0
+        ref_img = union_pil(ref_img, m * 64, CLASS_COLORS_RGB[class_name])
+        ref_img = union_pil(ref_img, m_d * 255, CLASS_COLORS_RGB[class_name])
+        m255 = mask[:, :, CLASS_IDS[class_name] - 1] * 255
+        class_img = Image.new('RGB', size=ref_img.size, color=CLASS_COLORS_RGB[class_name])
+        ref_color_mask.paste(class_img, (0, 0), Image.fromarray(m255).convert('L'))
+
+    ours_overlay = np.array(Image.open(ours_dir / 't_overlay.png'))
+    ours_mask = np.array(Image.open(ours_dir / 't_mask.png'))
+    np.testing.assert_array_equal(ours_mask, np.array(ref_color_mask))
+    # blur differences of ~2e-3 shift the wrapped alpha by at most 1 level;
+    # require near-identity with a tiny tolerance
+    diff = np.abs(ours_overlay.astype(int) - np.array(ref_img).astype(int))
+    assert diff.max() <= 2, f'overlay max diff {diff.max()}'
+    assert (diff > 0).mean() < 0.01
+
+
+def test_predict_entry_point(models_dir, tmp_path, reference_dir):
+    """End-to-end: reference demo PNGs → hybrid ensemble → overlay PNGs."""
+    from octseg.core.config import Config
+    from octseg.infer.predict import main
+
+    save_dir = str(tmp_path / 'out')
+    cfg = Config(
+        data_dir=f'{reference_dir}/data/demo/input',
+        models_dir=models_dir,
+        save_dir=save_dir,
+        output_size=[256, 256],
+        device='auto',
+        classes=['Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum'],
+    )
+    main(cfg)
+    outs = sorted(os.listdir(save_dir))
+    assert '001_1_007_mask.png' in outs and '001_1_007_overlay.png' in outs
+    assert len(outs) == 6  # 3 inputs × (mask + overlay)
+    overlay = np.array(Image.open(os.path.join(save_dir, '001_1_007_overlay.png')))
+    assert overlay.shape == (256, 256, 3)
