@@ -55,20 +55,30 @@ def build(arch, encoder, classes):
 
 
 def main():
+    import numpy as np
+
     n_chips = jax.device_count()
     fns = [build(*spec) for spec in ENSEMBLE]
     imgs = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, INPUT, INPUT, 3),
                               jnp.float32, 0, 255)
+    # single-element probe: forcing a host fetch is the only reliable sync on
+    # a tunneled device (block_until_ready acks enqueue, not completion)
+    probe = jax.jit(lambda m: m[0, 0, 0, 0])
 
-    # warmup (compile)
+    def sync(out):
+        return float(np.asarray(jax.device_get(probe(out))))
+
+    # warmup (compile everything incl. the probe)
     for fn, variables in fns:
-        jax.block_until_ready(fn(variables, imgs))
+        sync(fn(variables, imgs))
 
-    iters = 5
+    iters = 10
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        outs = [fn(variables, imgs) for fn, variables in fns]
-    jax.block_until_ready(outs)
+        for fn, variables in fns:
+            out = fn(variables, imgs)
+    sync(out)  # the device queue is FIFO: last result ⇒ all work done
     dt = time.perf_counter() - t0
 
     frames = BATCH * iters  # each frame goes through the whole ensemble

@@ -6,7 +6,9 @@ sharding logic is exercised on CPU without TPU hardware.
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Force-assign (not setdefault): the environment pre-exports JAX_PLATFORMS to
+# the TPU plugin, which would silently route "CPU" tests through the tunnel.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
