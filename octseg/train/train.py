@@ -98,9 +98,17 @@ def pick_mesh_size(batch_size: int, n_devices: int) -> int:
     return 1
 
 
-def train_model(cfg: Config, model_dir: Optional[str] = None) -> dict:
+def train_model(
+    cfg: Config,
+    model_dir: Optional[str] = None,
+    on_epoch_end=None,
+) -> dict:
     """Run one training; returns summary dict (best metrics). Reusable by the
-    tuner and the 5-fold driver."""
+    tuner and the 5-fold driver.
+
+    on_epoch_end(epoch, val_summary: dict) -> bool — optional callback; return
+    True to stop early (the tuner's HyperBand hook).
+    """
     classes = list(cfg.classes)
     model_name = cfg.get('model_name') or f"{cfg.architecture}_{cfg.encoder}"
     model_dir = model_dir or os.path.join(cfg.get('save_dir', 'models'), model_name)
@@ -209,6 +217,9 @@ def train_model(cfg: Config, model_dir: Optional[str] = None) -> dict:
             'best_metrics': best_metrics,
             'epochs_done': epoch,
         }
+        if on_epoch_end is not None and on_epoch_end(epoch, summary):
+            log.info('Early termination requested at epoch %d', epoch)
+            break
     return summary
 
 
