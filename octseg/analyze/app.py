@@ -1,0 +1,215 @@
+""""KCC OCT analysis" web app — stdlib HTTP server + HTML/JS front end.
+
+Framework equivalent of the reference Gradio app (reference:
+src/app/app.py:9-186, served on 0.0.0.0:7883): DICOM upload or demo mode →
+object presence map, per-frame viewer with slider / class checkboxes /
+opacity, area trace plot, per-instance area boxplots, metadata JSON. gradio
+and plotly are not available in this environment, so the UI is a single HTML
+page with a small JS controller hitting PNG/JSON endpoints
+(octseg.analyze.figures renders the plots). Unlike the reference, inference
+mode actually works (the reference left it a stub — app.py:138,166).
+
+Usage: python -m octseg.analyze.app [key=value ...]   (configs/app.yaml)
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+from urllib.parse import parse_qs, urlparse
+
+from octseg.analyze import figures
+from octseg.analyze.analysis import get_analysis
+from octseg.core.config import Config, entry_point
+from octseg.core.registry import CLASS_IDS
+
+log = logging.getLogger(__name__)
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>KCC OCT analysis</title>
+<style>
+ body{font-family:sans-serif;margin:20px;background:#fafafa}
+ .row{margin:12px 0} img{max-width:100%;border:1px solid #ddd;background:#fff}
+ button{padding:8px 16px} label{margin-right:12px}
+ #controls{display:none}
+</style></head>
+<body>
+<h2>KCC OCT analysis</h2>
+<div class="row">
+  <input type="file" id="dicom" accept="*">
+  <button onclick="analyze('inference')">Analyze DICOM</button>
+  <button onclick="analyze('demo')">Run demo</button>
+  <span id="status"></span>
+</div>
+<div id="controls">
+  <div class="row"><img id="object_map"></div>
+  <div class="row">
+    <label>Frame: <input type="range" id="frame" min="0" max="0" value="0"
+      oninput="updateFrame()"> <span id="frameno">0</span></label>
+    <label>Opacity %: <input type="range" id="opacity" min="0" max="100" value="20"
+      oninput="updateFrame()"></label>
+    <span id="classes"></span>
+  </div>
+  <div class="row"><img id="frameimg"></div>
+  <div class="row"><img id="trace_area"></div>
+  <div class="row"><img id="plot_area"></div>
+  <div class="row"><details><summary>Metadata</summary><pre id="meta"></pre></details></div>
+</div>
+<script>
+let CLASSES = [];
+function qsClasses(){
+  return CLASSES.filter(c=>document.getElementById('cls_'+c).checked).join(',');
+}
+async function analyze(mode){
+  document.getElementById('status').textContent = 'Processing...';
+  let opts = {method:'POST'};
+  if(mode==='inference'){
+    const f = document.getElementById('dicom').files[0];
+    if(!f){alert('Choose a DICOM file first');return;}
+    opts.body = await f.arrayBuffer();
+  }
+  const r = await fetch('/analyze?mode='+mode, opts);
+  if(!r.ok){document.getElementById('status').textContent='Error: '+await r.text();return;}
+  const info = await r.json();
+  CLASSES = info.classes;
+  const cl = document.getElementById('classes');
+  cl.innerHTML = CLASSES.map(c=>
+    `<label><input type="checkbox" id="cls_${c}" checked onchange="updateAll()">${c}</label>`
+  ).join('');
+  document.getElementById('frame').max = info.n_frames-1;
+  document.getElementById('controls').style.display='block';
+  document.getElementById('status').textContent = info.n_frames+' frames';
+  document.getElementById('object_map').src = '/object_map.png?'+Date.now();
+  const meta = await (await fetch('/metadata.json')).json();
+  document.getElementById('meta').textContent = JSON.stringify(meta, null, 1).slice(0, 20000);
+  updateAll();
+}
+function updateAll(){
+  const c = qsClasses();
+  document.getElementById('trace_area').src = '/trace_area.png?classes='+c+'&t='+Date.now();
+  document.getElementById('plot_area').src = '/plot_area.png?classes='+c+'&t='+Date.now();
+  updateFrame();
+}
+function updateFrame(){
+  const n = document.getElementById('frame').value;
+  document.getElementById('frameno').textContent = n;
+  const o = document.getElementById('opacity').value;
+  document.getElementById('frameimg').src =
+    '/frame.png?num='+n+'&classes='+qsClasses()+'&opacity='+o+'&t='+Date.now();
+}
+</script>
+</body></html>
+"""
+
+
+class AppState:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.data: Optional[Dict] = None
+        self.lock = threading.Lock()
+
+
+def make_handler(state: AppState):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, body: bytes, ctype: str = 'text/html', code: int = 200):
+            self.send_response(code)
+            self.send_header('Content-Type', ctype)
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # route to logging, not stderr
+            log.debug(fmt, *args)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            data = state.data
+            if url.path == '/':
+                return self._send(_PAGE.encode())
+            if data is None:
+                return self._send(b'Run analysis first', 'text/plain', 400)
+            classes = [c for c in q.get('classes', '').split(',') if c] or list(CLASS_IDS)
+            if url.path == '/object_map.png':
+                return self._send(figures.get_object_map(data), 'image/png')
+            if url.path == '/trace_area.png':
+                return self._send(figures.get_trace_area(classes, data), 'image/png')
+            if url.path == '/plot_area.png':
+                return self._send(figures.get_plot_area(classes, data), 'image/png')
+            if url.path == '/frame.png':
+                png = figures.get_img_show(
+                    data,
+                    img_dir=os.path.join(data['work_dir'], 'img'),
+                    img_num=int(q.get('num', 0)),
+                    classes_vis=classes,
+                    opacity=float(q.get('opacity', 20)),
+                )
+                return self._send(png, 'image/png')
+            if url.path == '/metadata.json':
+                slim = {k: v for k, v in data.items() if k != 'objects'}
+                slim['objects'] = {
+                    c: {k: v for k, v in obj.items() if k != 'masks'}
+                    for c, obj in data['objects'].items()
+                }
+                return self._send(json.dumps(slim).encode(), 'application/json')
+            return self._send(b'not found', 'text/plain', 404)
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != '/analyze':
+                return self._send(b'not found', 'text/plain', 404)
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            mode = q.get('mode', 'demo')
+            try:
+                with state.lock:
+                    if mode == 'demo':
+                        data = get_analysis(
+                            None, 'demo', demo_dir=state.cfg.get('demo_dir', 'data/app/demo')
+                        )
+                    else:
+                        length = int(self.headers.get('Content-Length', 0))
+                        blob = self.rfile.read(length)
+                        with tempfile.NamedTemporaryFile(delete=False) as f:
+                            f.write(blob)
+                            tmp = f.name
+                        data = get_analysis(
+                            tmp, 'inference',
+                            models_dir=state.cfg.get('models_dir', 'models'),
+                            temp_root=state.cfg.get('temp_dir', 'data/app/temp'),
+                        )
+                    state.data = data
+                info = {'n_frames': len(data['images']), 'classes': list(CLASS_IDS)}
+                return self._send(json.dumps(info).encode(), 'application/json')
+            except Exception as e:  # surface errors to the UI
+                log.exception('analysis failed')
+                return self._send(str(e).encode(), 'text/plain', 500)
+
+    return Handler
+
+
+def serve(cfg: Config, block: bool = True) -> ThreadingHTTPServer:
+    state = AppState(cfg)
+    server = ThreadingHTTPServer(
+        (cfg.get('host', '0.0.0.0'), int(cfg.get('port', 7883))), make_handler(state)
+    )
+    server.app_state = state
+    log.info('KCC OCT analysis app on http://%s:%d', *server.server_address)
+    if block:
+        server.serve_forever()
+    else:
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
+
+
+@entry_point('app')
+def main(cfg: Config) -> None:
+    serve(cfg, block=True)
+
+
+if __name__ == '__main__':
+    main()
