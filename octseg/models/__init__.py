@@ -82,6 +82,7 @@ def create_model(
         decoder=decoder,
         classes=classes,
         head_upsampling=decoder.upsampling,
+        dtype=dtype,
     )
 
 

@@ -34,11 +34,23 @@ class SegmentationModel(nn.Module):
     decoder: nn.Module
     classes: int
     head_upsampling: int = 1
+    dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.head = SegmentationHead(self.classes, self.head_upsampling, dtype=self.dtype)
+
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        features = self.encoder(x, train=train)
-        y = self.decoder(features, train=train)
-        return SegmentationHead(
-            self.classes, self.head_upsampling, dtype=y.dtype
-        )(y)
+        return self.decode(self.encoder(x, train=train), train=train)
+
+    def encode(self, x: jnp.ndarray, train: bool = False):
+        """Feature pyramid only (CAM explainability taps these activations)."""
+        return self.encoder(x, train=train)
+
+    def decode(self, features, train: bool = False) -> jnp.ndarray:
+        """Decoder + head over a (possibly perturbed) feature pyramid.
+
+        Gradients of a target w.r.t. features[k] through this function are
+        exactly d(target)/d(activation) — the quantity grad-CAM methods need —
+        because all other pyramid levels are upstream of the tapped layer.
+        """
+        return self.head(self.decoder(features, train=train))

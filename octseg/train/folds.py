@@ -1,0 +1,63 @@
+"""5-fold cross-validation training driver.
+
+The reference trains each fold by manually re-running train.py with
+data_dir=data/cv/fold_k (its eval/training/{class}/fold_k layout); this
+driver automates the loop: one config, all folds, per-fold model dirs
+{save_dir}/{run_name}/fold_{k} each with the standard model-dir contract
+(weights.ckpt, config.json, metrics.csv, resume.ckpt), plus a fold summary
+CSV. Folds are independent — on a multi-slice deployment they parallelize
+trivially (SURVEY.md §2.7); here they run sequentially on the local mesh.
+
+Config: configs/train.yaml + folds/cv_dir keys.
+Usage: python -m octseg.train.folds [key=value ...]
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import time
+from typing import List
+
+from octseg.core.config import Config, entry_point
+from octseg.train.train import train_model
+
+log = logging.getLogger(__name__)
+
+
+def train_folds(cfg: Config) -> List[dict]:
+    cv_dir = cfg.get('cv_dir', 'data/cv')
+    folds = list(cfg.get('folds') or range(1, int(cfg.get('num_folds', 5)) + 1))
+    run_name = cfg.get('model_name') or f"{cfg.architecture}_{cfg.encoder}"
+    save_root = os.path.join(cfg.get('save_dir', 'models'), run_name)
+    os.makedirs(save_root, exist_ok=True)
+
+    results = []
+    for fold in folds:
+        fold_cfg = Config(dict(cfg))
+        fold_cfg['data_dir'] = os.path.join(cv_dir, f'fold_{fold}')
+        fold_cfg['model_name'] = f'{run_name}/fold_{fold}'
+        t0 = time.time()
+        log.info('=== fold %s ===', fold)
+        summary = train_model(fold_cfg, model_dir=os.path.join(save_root, f'fold_{fold}'))
+        summary['fold'] = fold
+        summary['duration_s'] = round(time.time() - t0, 1)
+        results.append(summary)
+
+    with open(os.path.join(save_root, 'folds_summary.csv'), 'w', newline='') as f:
+        fields = ['fold', 'best_val_loss', 'last_val_f1', 'epochs_done', 'duration_s']
+        writer = csv.DictWriter(f, fieldnames=fields, extrasaction='ignore')
+        writer.writeheader()
+        writer.writerows(results)
+    return results
+
+
+@entry_point('train')
+def main(cfg: Config) -> None:
+    results = train_folds(cfg)
+    log.info('Folds complete: %s', [(r['fold'], round(r['last_val_f1'], 4)) for r in results])
+
+
+if __name__ == '__main__':
+    main()
