@@ -1,0 +1,181 @@
+"""Pallas TPU kernel: fused overlay-postprocess chain for binary masks.
+
+Computes, in ONE pass over VMEM row-slabs, what the XLA path in
+octseg.data.utils._postprocess_chain does with five separate depthwise
+convolutions over HBM (close5 → dilate7/erode7 ring → blur5; reference
+host chain: src/data/utils.py:208-219):
+
+    closed = erode5(dilate5(m))            (5x5 elliptical SE)
+    ring   = dilate7(closed) & !erode7(closed)
+    fill   = gaussian_blur5(closed)        (REFLECT_101 border)
+
+The chain is bandwidth-bound: on a 500-frame x 4-class pullback at 1000² the
+multi-pass XLA version moves ~40 GB through HBM; the fused kernel reads each
+mask once and writes the two outputs once (~3x less traffic).
+
+Morphology identities keep cv2 border semantics exact with a single
+zero-padded input: erode(m) with +inf border == 1 - dilate(1 - m) with zero
+border, so
+
+    closed = 1 - dilate5(1 - dilate5(m))
+    ring   = dilate7(closed) * dilate7(1 - closed)
+
+Dilations with elliptical SEs are unrolled shifted-max chains on the VPU;
+the separable 5-tap blur adds REFLECT_101 edge corrections explicitly.
+
+Grid: (num_masks, H row-tiles). The input stays in HBM; each step DMAs a
+(TILE_H + 2*HALO, W) halo slab into VMEM scratch (double-buffer-free: the
+chain is compute-dense enough per slab). HALO = 8 covers the receptive field
+(2+2 close, +3 ring, +2 blur).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from octseg.ops.morphology import ELLIPSE_5, ELLIPSE_7, GAUSS_5
+
+HALO = 8
+# Row tile kept small: the unrolled shifted-max chains materialize several
+# slab-sized temporaries on the VMEM stack; 32 rows x 1024 lanes keeps the
+# whole chain comfortably under the 16MB scoped-vmem limit.
+TILE_H = 32
+
+
+def _se_offsets(se: np.ndarray) -> Tuple[Tuple[int, int], ...]:
+    k = se.shape[0]
+    c = k // 2
+    return tuple(
+        (dy - c, dx - c) for dy in range(k) for dx in range(k) if se[dy, dx] > 0
+    )
+
+_OFF5 = _se_offsets(ELLIPSE_5)
+_OFF7 = _se_offsets(ELLIPSE_7)
+
+
+def _shift(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift a 2D block by (dy, dx); vacated cells are garbage from wrap, but
+    every consumer only reads the interior the halo protects."""
+    out = x
+    if dy:
+        out = jnp.roll(out, -dy, axis=0)
+    if dx:
+        out = jnp.roll(out, -dx, axis=1)
+    return out
+
+
+def _dilate_block(x: jnp.ndarray, offsets) -> jnp.ndarray:
+    out = x
+    for dy, dx in offsets:
+        if dy == 0 and dx == 0:
+            continue
+        out = jnp.maximum(out, _shift(x, dy, dx))
+    return out
+
+
+def _make_kernel(h_true: int, w_true: int, tile_h: int, halo: int):
+    t0, t1, t2 = float(GAUSS_5[2]), float(GAUSS_5[1]), float(GAUSS_5[0])
+
+    def kernel(in_hbm, fill_ref, ring_ref, slab_ref, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        # slab rows [j*tile_h, j*tile_h + tile_h + 2*halo) of the padded input
+        copy = pltpu.make_async_copy(
+            in_hbm.at[i, pl.ds(j * tile_h, tile_h + 2 * halo), :],
+            slab_ref,
+            sem,
+        )
+        copy.start()
+        copy.wait()
+        m = slab_ref[:]
+        row_base = j * tile_h - halo
+        rows = jax.lax.broadcasted_iota(jnp.int32, m.shape, 0) + row_base
+        cols = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+        # each cv2 op is defined on the image only; dilation spill into the
+        # padding must not feed the next op, so mask every intermediate to
+        # the true image region (outside = the op's border value, always 0
+        # in the dilate-only formulation)
+        inside = (
+            (rows >= 0) & (rows < h_true) & (cols >= 0) & (cols < w_true)
+        ).astype(m.dtype)
+
+        # close5 via double dilation (exact cv2 border semantics)
+        d1 = _dilate_block(m, _OFF5)
+        closed = (1.0 - _dilate_block((1.0 - d1) * inside, _OFF5)) * inside
+
+        # ring: dilate7(closed) AND NOT erode7(closed)
+        ring = _dilate_block(closed, _OFF7) * _dilate_block((1.0 - closed) * inside, _OFF7)
+
+        def blur_axis(x, axis, idx, n_valid):
+            s = lambda k: _shift(x, k if axis == 0 else 0, k if axis == 1 else 0)
+            out = t0 * x + t1 * (s(1) + s(-1)) + t2 * (s(2) + s(-2))
+            # REFLECT_101 mirrors about the edge pixel: at index 0 the taps
+            # at -1/-2 reflect to +1/+2; at index 1 the tap at -1 reflects
+            # back onto index 1 itself (and symmetrically at the far edge).
+            out = out + jnp.where(idx == 0, t1 * s(1) + t2 * s(2), 0.0)
+            out = out + jnp.where(idx == 1, t2 * x, 0.0)
+            out = out + jnp.where(idx == n_valid - 1, t1 * s(-1) + t2 * s(-2), 0.0)
+            out = out + jnp.where(idx == n_valid - 2, t2 * x, 0.0)
+            return out
+
+        fill = blur_axis(blur_axis(closed, 0, rows, h_true), 1, cols, w_true)
+
+        fill_ref[0] = fill[halo:halo + tile_h, :]
+        ring_ref[0] = ring[halo:halo + tile_h, :]
+
+    return kernel
+
+
+def fused_overlay_postprocess(masks: jnp.ndarray, interpret: bool = False):
+    """Fused (fill, ring) for a stack of binary masks (M, H, W) float32.
+
+    Parity contract: identical to close/dilate/erode/gaussian_blur5 from
+    octseg.ops.morphology composed as in octseg.data.utils._postprocess_chain.
+    """
+    if interpret:
+        # interpreter mode (CPU tests): run eagerly — jitting the emulation
+        # graph is far slower than the emulation itself
+        return _fused_overlay_postprocess(masks, interpret=True)
+    return _fused_overlay_postprocess_jit(masks)
+
+
+def _fused_overlay_postprocess(masks: jnp.ndarray, interpret: bool = False):
+    m, h, w = masks.shape
+    # W padding must include the halo so column shifts wrap into zeros
+    w_pad = (-(w + HALO)) % 128 + HALO
+    h_pad = (-h) % TILE_H
+    x = jnp.pad(masks.astype(jnp.float32), ((0, 0), (HALO, h_pad + HALO), (0, w_pad)))
+    hp = h + h_pad
+    wp = w + w_pad
+    num_tiles = hp // TILE_H
+
+    kernel = _make_kernel(h, w, TILE_H, HALO)
+    fill, ring = pl.pallas_call(
+        kernel,
+        grid=(m, num_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, TILE_H, wp), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, TILE_H, wp), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((m, hp, wp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H + 2 * HALO, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x)
+    return fill[:, :h, :w], ring[:, :h, :w]
+
+
+_fused_overlay_postprocess_jit = jax.jit(_fused_overlay_postprocess)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from octseg.core.config import Config, entry_point
+from octseg.core.logging_utils import ScalarLogger
 from octseg.models import create_model
 from octseg.ops.augment import augment_pair
 from octseg.ops.normalize import normalize_imagenet, sigmoid_threshold
@@ -88,6 +89,45 @@ def make_eval_step(model):
         return compute_metrics(pred, masks, loss)
 
     return eval_step
+
+
+def dump_epoch_examples(cfg, model, state, model_dir, classes, epoch) -> None:
+    """Per-epoch qualitative tri-panel dumps (img | GT colors | pred colors)
+    from {data_dir}/vis/img, the reference's log_predict_model_on_epoch
+    (src/models/smp/model.py:208-248)."""
+    import cv2
+    from glob import glob as _glob
+
+    from octseg.core.registry import CLASS_COLORS_BGR, CLASS_IDS
+    from octseg.data.tiffio import read_tiff
+
+    vis_dir = os.path.join(cfg.data_dir, 'vis', 'img')
+    if not os.path.isdir(vis_dir):
+        return
+    out_dir = os.path.join(model_dir, 'images_per_epoch')
+    os.makedirs(out_dir, exist_ok=True)
+    size = int(cfg.input_size)
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    for img_path in _glob(os.path.join(vis_dir, '*.[pj][np]g')):
+        img = cv2.resize(cv2.imread(img_path), (size, size))
+        mask_path = os.path.splitext(img_path.replace('/img/', '/mask/'))[0] + '.tiff'
+        if not os.path.exists(mask_path):
+            continue
+        gt = cv2.resize(read_tiff(mask_path), (size, size),
+                        interpolation=cv2.INTER_NEAREST)
+        if gt.ndim == 2:
+            gt = gt[:, :, None]
+        logits = model.apply(variables, jnp.asarray(img[None], jnp.float32), train=False)
+        pred = np.asarray(logits[0]) > 0
+        panel_gt = np.full_like(img, 128)
+        panel_pred = np.full_like(img, 128)
+        for idy, cl in enumerate(classes):
+            cid = CLASS_IDS[cl] - 1
+            panel_gt[gt[:, :, cid] == 255] = CLASS_COLORS_BGR[cl]
+            panel_pred[pred[:, :, idy]] = CLASS_COLORS_BGR[cl]
+        res = np.hstack([img, panel_gt, panel_pred])
+        stem = os.path.splitext(os.path.basename(img_path))[0]
+        cv2.imwrite(os.path.join(out_dir, f'{stem}_epoch_{epoch:03d}.png'), res)
 
 
 def pick_mesh_size(batch_size: int, n_devices: int) -> int:
@@ -165,6 +205,7 @@ def train_model(
         best['val_loss'] = extra.get('best_val_loss', float('inf'))
         log.info('Resumed from %s at epoch %d', resume_path, last_epoch)
 
+    scalar_logger = ScalarLogger(model_dir)
     summary = {}
     for epoch in range(start_epoch, int(cfg.epochs) + 1):
         t0 = time.time()
@@ -175,7 +216,15 @@ def train_model(
             masks = jax.device_put(masks, data_shard)
             state, metrics = train_step(state, imgs, masks, key)
             train_metrics.append(jax.tree.map(np.asarray, metrics))
-        save_metrics_on_epoch(train_metrics, 'train', model_dir, classes, epoch)
+            if cfg.get('check_finite', True) and not np.isfinite(
+                train_metrics[-1]['loss']
+            ):
+                raise FloatingPointError(
+                    f'Non-finite loss at epoch {epoch} step {step}'
+                )
+        save_metrics_on_epoch(
+            train_metrics, 'train', model_dir, classes, epoch, logger=scalar_logger
+        )
 
         val_metrics = []
         for imgs, masks in val_loader:
@@ -194,8 +243,12 @@ def train_model(
                 m = {k: (v if v.ndim == 0 else v[:n]) for k, v in m.items()}
             val_metrics.append(m)
         best_metrics = save_metrics_on_epoch(
-            val_metrics, 'test', model_dir, classes, epoch, best_metrics
+            val_metrics, 'test', model_dir, classes, epoch, best_metrics,
+            logger=scalar_logger,
         )
+        interval = cfg.get('img_save_interval')
+        if interval and epoch % int(interval) == 0:
+            dump_epoch_examples(cfg, model, state, model_dir, classes, epoch)
 
         val_loss = float(np.mean([np.asarray(m['loss']) for m in val_metrics]))
         val_f1 = float(
