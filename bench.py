@@ -22,7 +22,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-BATCH = 16
+BATCH = 128
 INPUT = 512
 OUT = (1000, 1000)
 TARGET_FPS_PER_CHIP = 31.25
@@ -72,7 +72,7 @@ def main():
     for fn, variables in fns:
         sync(fn(variables, imgs))
 
-    iters = 10
+    iters = 3
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):
