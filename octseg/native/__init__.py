@@ -23,7 +23,11 @@ log = logging.getLogger(__name__)
 
 _SOURCES = {
     'lzw': ['lzw.cc'],
-    'dataloader': ['dataloader.cc'],
+    'dataloader': ['dataloader.cc', 'lzw.cc'],
+}
+
+_EXTRA_LINK = {
+    'dataloader': ['-lz', '-pthread'],
 }
 
 _CXXFLAGS = ['-O3', '-march=native', '-fPIC', '-shared', '-std=c++17', '-Wall']
@@ -46,8 +50,7 @@ def load_library(name: str):
             if needs_build:
                 os.makedirs(_BUILD_DIR, exist_ok=True)
                 cmd = ['g++', *_CXXFLAGS, '-o', so_path, *sources]
-                if name == 'dataloader':
-                    cmd.append('-pthread')
+                cmd += _EXTRA_LINK.get(name, [])
                 subprocess.run(cmd, check=True, capture_output=True, text=True)
             _LIBS[name] = ctypes.CDLL(so_path)
         except (OSError, subprocess.CalledProcessError) as e:

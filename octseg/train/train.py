@@ -188,10 +188,26 @@ def train_model(
         make_eval_step(model), in_shardings=(None, data_shard, data_shard)
     )
 
-    train_loader = PrefetchLoader(
-        train_set, cfg.batch_size, shuffle=True, drop_last=True,
-        seed=cfg.get('seed', 11),
-    )
+    use_native = cfg.get('native_loader', 'auto')
+    if use_native in (True, 'auto'):
+        from octseg.train.native_loader import NativeLoader, native_available
+
+        if native_available():
+            train_loader = NativeLoader(
+                train_set, cfg.batch_size, shuffle=True, seed=cfg.get('seed', 11)
+            )
+            log.info('Using native (C++) data loader')
+        elif use_native is True:
+            raise RuntimeError('native_loader=true but the native loader is unavailable')
+        else:
+            train_loader = None
+    else:
+        train_loader = None
+    if train_loader is None:
+        train_loader = PrefetchLoader(
+            train_set, cfg.batch_size, shuffle=True, drop_last=True,
+            seed=cfg.get('seed', 11),
+        )
     val_loader = PrefetchLoader(val_set, cfg.batch_size, shuffle=False, drop_last=False)
 
     start_epoch = 1
