@@ -166,8 +166,12 @@ def train_model(
     data_shard = batch_sharding(mesh)
     repl = replicated_sharding(mesh)
 
+    # bf16 compute (params stay fp32, logits/loss fp32) — TPU-native mixed
+    # precision, opt-in to keep exact reference parity by default
+    compute_dtype = jnp.bfloat16 if cfg.get('bf16', False) else jnp.float32
     model = create_model(
-        cfg.architecture, cfg.encoder, in_channels=3, classes=len(classes)
+        cfg.architecture, cfg.encoder, in_channels=3, classes=len(classes),
+        dtype=compute_dtype,
     )
     rng = jax.random.PRNGKey(cfg.get('seed', 11))
     init_rng, loop_rng = jax.random.split(rng)
