@@ -1,0 +1,91 @@
+"""End-to-end pullback benchmark: DICOM → ensemble masks wall time.
+
+The north-star (BASELINE.json): 500-frame pullback DICOM→ensemble-mask in
+< 2 s on a v5e-8. This script measures the full path on the available chips —
+DICOM parse + pixel decode, device upload, on-device preprocessing (BGR swap +
+bilinear resize fused into the forward block), 3-model ensemble forward,
+thresholding and output-size resize — and reports a per-chip-scaled estimate.
+
+Usage: python benchmarks/e2e_pullback.py [n_frames] [frame_size]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main():
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    frame_size = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+
+    import jax
+
+    from octseg.data import dicom
+    from octseg.infer.engine import InferenceEngine
+    from octseg.train.checkpoint import initialize_model_dir
+
+    # synthetic pullback DICOM + randomly-initialized winning-config models
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (n_frames, frame_size, frame_size, 3), np.uint8)
+    tmp = tempfile.mkdtemp()
+    dcm_path = os.path.join(tmp, 'IMG001')
+    dicom.dcmwrite(dcm_path, frames)
+
+    initialize_model_dir(os.path.join(tmp, 'LM'), ['Lumen'],
+                         arch='UnetPlusPlus', encoder='resnet101', input_size=512)
+    initialize_model_dir(os.path.join(tmp, 'FC_LC'), ['Lipid core', 'Fibrous cap'],
+                         arch='LinkNet', encoder='efficientnet-b7', input_size=512)
+    initialize_model_dir(os.path.join(tmp, 'VV'), ['Vasa vasorum'],
+                         arch='Unet', encoder='timm-regnetx_064', input_size=512)
+
+    engine = InferenceEngine(tmp, classes=[
+        'Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum',
+    ])
+    # warmup / compile outside the timed region (deployments keep compiled fns)
+    ds = dicom.dcmread(dcm_path)
+    warm = ds.pixel_array[: engine.block_size]
+    engine.segment_pullback(warm, output_size=[frame_size, frame_size])
+
+    # (a) host DICOM parse + pixel decode
+    t0 = time.perf_counter()
+    ds = dicom.dcmread(dcm_path)
+    pixels = ds.pixel_array
+    t_decode = time.perf_counter() - t0
+
+    # (b) upload + device compute. NOTE: on this rig the chip sits behind a
+    # network relay (~50 MB/s host→device), so the upload component is NOT
+    # representative of production PCIe; it is reported separately.
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    dev_frames = jax.device_put(jnp.asarray(pixels))
+    _ = float(np.asarray(jax.device_get(dev_frames[0, 0, 0, 0])))
+    t_upload = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    masks = engine.segment_pullback(np.asarray(pixels), output_size=[frame_size, frame_size])
+    t_segment = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    compute_s = t_segment - t_upload if t_segment > t_upload else t_segment
+    print(json.dumps({
+        'n_frames': n_frames,
+        'frame_size': frame_size,
+        'n_chips': n_chips,
+        'dicom_decode_s': round(t_decode, 3),
+        'upload_s_via_relay': round(t_upload, 3),
+        'segment_s_incl_upload': round(t_segment, 3),
+        'est_compute_s': round(compute_s, 3),
+        'est_v5e8_total_s': round((t_decode + compute_s * n_chips / 8), 3),
+        'mask_shape': list(masks.shape),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -29,7 +29,7 @@ from PIL import Image
 from octseg.data.utils import preprocessing_img
 from octseg.models import create_model
 from octseg.ops.normalize import sigmoid_threshold
-from octseg.ops.resize import resize_nearest
+from octseg.ops.resize import resize_bilinear, resize_nearest
 from octseg.parallel.sharding import batch_sharding, make_mesh, replicated_sharding
 from octseg.train.checkpoint import restore_weights_into
 
@@ -95,16 +95,26 @@ class InferenceEngine:
         return self._bundles[model_dir_name]
 
     @functools.lru_cache(maxsize=None)
-    def _forward_fn(self, model_dir_name: str, out_h: int, out_w: int):
+    def _forward_fn(self, model_dir_name: str, out_h: int, out_w: int,
+                    device_preprocess: bool = False):
         model, variables, model_cfg = self._bundle(model_dir_name)
         data_shard = batch_sharding(self.mesh)
         repl = replicated_sharding(self.mesh)
+        input_size = model_cfg['input_size']
 
         def forward(variables, imgs):
+            if device_preprocess:
+                # fused on-device preprocessing: uint8 RGB frames at native
+                # resolution → BGR float → bilinear resize to the model size
+                # (replaces the per-frame host cv2 path, SURVEY §3.1)
+                imgs = imgs[..., ::-1].astype(jnp.float32)
+                imgs = resize_bilinear(imgs, (input_size, input_size))
             # ref predict() parity: raw BGR 0..255 floats, no normalization
             logits = model.apply(variables, imgs, train=False)
             masks = sigmoid_threshold(logits)
-            return resize_nearest(masks, (out_h, out_w))
+            masks = resize_nearest(masks, (out_h, out_w))
+            # binary masks travel host-ward as uint8 (4x less transfer)
+            return masks.astype(jnp.uint8)
 
         fn = jax.jit(forward, in_shardings=(repl, data_shard), out_shardings=data_shard)
         variables = jax.device_put(variables, repl)
@@ -133,6 +143,49 @@ class InferenceEngine:
             out = fn(variables, jax.device_put(jnp.asarray(chunk), data_shard))
             outs.append(np.asarray(out)[: bs - pad])
         return np.concatenate(outs, axis=0)
+
+    def segment_pullback(
+        self, frames: np.ndarray, output_size: Sequence[int]
+    ) -> np.ndarray:
+        """Fast path for whole pullbacks: (N, H, W, 3) uint8 RGB frames →
+        (N, out_h, out_w, 4) float32 {0,1} ensemble masks. All per-pixel work
+        (BGR swap, resize, forward, threshold, output resize) happens on
+        device in static frame blocks; the host only uploads raw frames."""
+        from octseg.core.registry import CLASS_IDS
+
+        out_h, out_w = int(output_size[0]), int(output_size[1])
+        n = frames.shape[0]
+        result = np.zeros((n, out_h, out_w, 4), np.float32)
+        by_model: Dict[str, List[str]] = {}
+        for class_name in self.classes:
+            by_model.setdefault(MODELS_META[class_name]['model_dir'], []).append(class_name)
+
+        data_shard = batch_sharding(self.mesh)
+        bs = self.block_size
+        pad_total = (-n) % bs
+        if isinstance(frames, np.ndarray):
+            if pad_total:
+                frames = np.concatenate(
+                    [frames, np.zeros((pad_total, *frames.shape[1:]), frames.dtype)]
+                )
+            # one upload for the whole pullback, shared across all models
+            frames = jax.device_put(jnp.asarray(frames), data_shard)
+        elif pad_total:
+            frames = jnp.pad(frames, ((0, pad_total), (0, 0), (0, 0), (0, 0)))
+
+        for model_dir_name, class_names in by_model.items():
+            fn, variables, _cfg = self._forward_fn(
+                model_dir_name, out_h, out_w, device_preprocess=True
+            )
+            outs = [
+                fn(variables, jax.lax.dynamic_slice_in_dim(frames, start, bs))
+                for start in range(0, n + pad_total, bs)
+            ]
+            pred = np.concatenate([np.asarray(o) for o in outs], axis=0)[:n]
+            for class_name in class_names:
+                ch = MODELS_META[class_name]['index']
+                result[:, :, :, CLASS_IDS[class_name] - 1] = pred[:, :, :, ch]
+        return result
 
     def segment(
         self,

@@ -65,6 +65,50 @@ def load_resume(path: str, state_template: Any) -> Tuple[Any, int, dict]:
     return state, int(raw['epoch']), dict(raw.get('extra', {}))
 
 
+def initialize_model_dir(
+    model_dir: str,
+    classes,
+    arch: str = 'Unet',
+    encoder: str = 'resnet18',
+    input_size: int = 512,
+    seed: int = 0,
+) -> str:
+    """Create a model dir with randomly-initialized weights + manifest
+    (reference layout: weights.ckpt + config.json). Used by benchmarks and
+    tests; training overwrites weights.ckpt with real ones."""
+    import jax
+    import jax.numpy as jnp
+
+    from octseg.models import create_model
+
+    os.makedirs(model_dir, exist_ok=True)
+    model = create_model(arch, encoder, classes=len(classes))
+    sample = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    rng = jax.random.PRNGKey(seed)
+    variables = jax.jit(
+        lambda r, x: model.init({'params': r, 'dropout': r}, x, train=False)
+    )(rng, sample)
+    save_weights(
+        os.path.join(model_dir, 'weights.ckpt'),
+        variables['params'], variables['batch_stats'],
+    )
+    with open(os.path.join(model_dir, 'config.json'), 'w') as f:
+        json.dump(
+            {
+                'model_name': f'{arch}_{encoder}',
+                'architecture': arch,
+                'encoder': encoder,
+                'input_size': input_size,
+                'classes': list(classes),
+                'batch_size': 4,
+                'optimizer': 'Adam',
+                'lr': 1e-4,
+            },
+            f, indent=2,
+        )
+    return model_dir
+
+
 def save_manifest(model_dir: str, cfg: Any, model_name: str) -> None:
     """config.json with the exact reference keys (train.py:105-119)."""
     os.makedirs(model_dir, exist_ok=True)

@@ -1,0 +1,27 @@
+import numpy as np
+import pytest
+
+from tests.test_infer import models_dir  # fixture reuse  # noqa: F401
+
+
+def test_segment_pullback_contract(models_dir, rng):  # noqa: F811
+    from octseg.infer.engine import InferenceEngine
+
+    frames = rng.integers(0, 255, (5, 100, 100, 3), dtype=np.uint8)
+    engine = InferenceEngine(models_dir, classes=[
+        'Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum',
+    ], block_size=4)
+    out = engine.segment_pullback(frames, output_size=[80, 80])
+    assert out.shape == (5, 80, 80, 4)
+    assert set(np.unique(out)) <= {0.0, 1.0}
+
+    # channel routing identical to the PIL path contract
+    from PIL import Image
+
+    images = [Image.fromarray(f) for f in frames]
+    masks = [np.zeros((80, 80, 4)) for _ in images]
+    ref = engine.segment(images, masks, output_size=[80, 80])
+    # both paths binarize the same logits; resampling chains differ by design
+    # (pullback path resizes native->input once), so require strong agreement
+    agree = np.mean([np.mean(out[i] == ref[i]) for i in range(5)])
+    assert agree > 0.9, agree
