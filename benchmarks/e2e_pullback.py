@@ -72,17 +72,35 @@ def main():
     masks = engine.segment_pullback(np.asarray(pixels), output_size=[frame_size, frame_size])
     t_segment = time.perf_counter() - t0
 
+    # (c) compute-only: frames already device-resident, outputs probe-synced
+    # (mask download excluded — negligible over PCIe, ~11 MB/s over this relay)
+    probe = jax.jit(lambda m: m[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    out = None
+    for model_dir_name in ('LM', 'FC_LC', 'VV'):
+        fn, variables, _ = engine._forward_fn(
+            model_dir_name, frame_size, frame_size, device_preprocess=True
+        )
+        bs = engine.block_size
+        n_pad = ((n_frames + bs - 1) // bs) * bs
+        pads = jnp.zeros((n_pad - n_frames, *dev_frames.shape[1:]), dev_frames.dtype)
+        dev_all = jnp.concatenate([dev_frames, pads]) if n_pad != n_frames else dev_frames
+        for start in range(0, n_pad, bs):
+            out = fn(variables, jax.lax.dynamic_slice_in_dim(dev_all, start, bs))
+    _ = float(np.asarray(jax.device_get(probe(out))))
+    t_compute = time.perf_counter() - t0
+
     n_chips = jax.device_count()
-    compute_s = t_segment - t_upload if t_segment > t_upload else t_segment
     print(json.dumps({
         'n_frames': n_frames,
         'frame_size': frame_size,
         'n_chips': n_chips,
         'dicom_decode_s': round(t_decode, 3),
-        'upload_s_via_relay': round(t_upload, 3),
-        'segment_s_incl_upload': round(t_segment, 3),
-        'est_compute_s': round(compute_s, 3),
-        'est_v5e8_total_s': round((t_decode + compute_s * n_chips / 8), 3),
+        'relay_upload_s': round(t_upload, 3),
+        'segment_s_incl_relay_transfers': round(t_segment, 3),
+        'device_compute_s': round(t_compute, 3),
+        'compute_frames_per_s_per_chip': round(n_frames / t_compute / n_chips, 1),
+        'est_v5e8_total_s': round(t_decode + t_compute * n_chips / 8, 3),
         'mask_shape': list(masks.shape),
     }))
 
