@@ -46,7 +46,7 @@ def main():
 
     engine = InferenceEngine(tmp, classes=[
         'Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum',
-    ])
+    ], bf16=True)
     # warmup / compile outside the timed region (deployments keep compiled fns)
     ds = dicom.dcmread(dcm_path)
     warm = ds.pixel_array[: engine.block_size]
@@ -75,16 +75,21 @@ def main():
     # (c) compute-only: frames already device-resident, outputs probe-synced
     # (mask download excluded — negligible over PCIe, ~11 MB/s over this relay)
     probe = jax.jit(lambda m: m[0, 0, 0, 0])
-    t0 = time.perf_counter()
+    bs = engine.block_size
+    n_pad = ((n_frames + bs - 1) // bs) * bs
+    pads = jnp.zeros((n_pad - n_frames, *dev_frames.shape[1:]), dev_frames.dtype)
+    dev_all = jnp.concatenate([dev_frames, pads]) if n_pad != n_frames else dev_frames
+    fns = []
     out = None
     for model_dir_name in ('LM', 'FC_LC', 'VV'):
         fn, variables, _ = engine._forward_fn(
             model_dir_name, frame_size, frame_size, device_preprocess=True
         )
-        bs = engine.block_size
-        n_pad = ((n_frames + bs - 1) // bs) * bs
-        pads = jnp.zeros((n_pad - n_frames, *dev_frames.shape[1:]), dev_frames.dtype)
-        dev_all = jnp.concatenate([dev_frames, pads]) if n_pad != n_frames else dev_frames
+        fns.append((fn, variables))
+        out = fn(variables, jax.lax.dynamic_slice_in_dim(dev_all, 0, bs))  # warm
+    _ = float(np.asarray(jax.device_get(probe(out))))
+    t0 = time.perf_counter()
+    for fn, variables in fns:
         for start in range(0, n_pad, bs):
             out = fn(variables, jax.lax.dynamic_slice_in_dim(dev_all, start, bs))
     _ = float(np.asarray(jax.device_get(probe(out))))

@@ -110,6 +110,22 @@ class Dataset:
         bits = int(self.get('BitsAllocated', 8))
         ts = self.get('TransferSyntaxUID', EXPLICIT_LE)
 
+        if isinstance(raw, np.ndarray):  # zero-copy mmap view (uint8)
+            dtype = np.uint8 if bits == 8 else np.uint16
+            arr = raw.view(dtype) if dtype != np.uint8 else raw
+            expected = frames * rows * cols * spp
+            arr = arr[:expected]
+            if spp > 1:
+                planar = int(self.get('PlanarConfiguration', 0))
+                if planar == 1:
+                    arr = arr.reshape(frames, spp, rows, cols).transpose(0, 2, 3, 1)
+                else:
+                    arr = arr.reshape(frames, rows, cols, spp)
+            else:
+                arr = arr.reshape(frames, rows, cols)
+            if frames == 1 and self.get('NumberOfFrames') is None:
+                arr = arr[0]
+            return arr  # non-contiguous views stay zero-copy; jnp copies once
         if isinstance(raw, list):  # encapsulated fragments
             import cv2
 
@@ -180,9 +196,22 @@ def _parse_value(vr: Optional[str], data: bytes):
     return data
 
 
-def dcmread(path: str) -> Dataset:
-    with open(path, 'rb') as f:
-        buf = f.read()
+def dcmread(path: str, use_mmap: bool = True) -> Dataset:
+    """Parse a DICOM file. With use_mmap (default) the pixel data is a
+    zero-copy view into a memory map — decoding a multi-GB pullback costs
+    header parsing only, and bytes stream from the page cache on upload."""
+    if use_mmap:
+        import mmap as _mmap
+
+        f = open(path, 'rb')
+        try:
+            buf = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+        except (ValueError, OSError):
+            buf = f.read()
+            f.close()
+    else:
+        with open(path, 'rb') as f:
+            buf = f.read()
     if len(buf) < 132 or buf[128:132] != b'DICM':
         raise DicomError(f'{path}: not a DICOM file (missing DICM magic)')
     ds = Dataset()
@@ -235,6 +264,13 @@ def dcmread(path: str) -> Dataset:
                 elif ilen != 0xFFFFFFFF:
                     pos += ilen
             continue
+        if (group, elem) == (0x7FE0, 0x0010):
+            # zero-copy view into the (possibly mmapped) file buffer
+            ds._elements[(group, elem)] = np.frombuffer(
+                buf, np.uint8, count=length, offset=pos
+            )
+            pos += length
+            continue
         data = buf[pos:pos + length]
         pos += length
         if (group, elem) in _TAG_TO_KEYWORD or group in (0x0008, 0x0010, 0x0018,
@@ -243,12 +279,9 @@ def dcmread(path: str) -> Dataset:
             if not explicit:
                 known = {(g, e): v for _k, (g, e, v) in TAGS.items()}
                 kw_vr = known.get((group, elem))
-            value = bytes(data) if (group, elem) == (0x7FE0, 0x0010) else _parse_value(
-                kw_vr, data
-            )
-            ds._elements[(group, elem)] = value
+            ds._elements[(group, elem)] = _parse_value(kw_vr, data)
     if (0x7FE0, 0x0010) in ds._elements and not isinstance(
-        ds._elements[(0x7FE0, 0x0010)], (list, bytes)
+        ds._elements[(0x7FE0, 0x0010)], (list, bytes, np.ndarray)
     ):
         ds._elements[(0x7FE0, 0x0010)] = bytes(ds._elements[(0x7FE0, 0x0010)])
     return ds

@@ -218,3 +218,40 @@ def save_results(
 def _wrap_uint8(x: np.ndarray) -> np.ndarray:
     """C-cast float→uint8 conversion (modular wrap), matching numpy astype."""
     return x.astype(np.int64).astype(np.uint8)
+
+
+def get_img_mask_union_pil(
+    img: Image.Image,
+    mask: np.ndarray,
+    color: tuple,
+    alpha: float = 0.85,
+) -> Image.Image:
+    """Paste a solid class color over img with alpha = uint8(mask*alpha*255)
+    (reference helper incl. its wraparound: src/models/smp/utils.py:203-213)."""
+    alpha8 = _wrap_uint8(np.asarray(mask, np.float64) * alpha * 255.0)
+    return _paste_overlay(img, alpha8, tuple(color))
+
+
+def get_img_mask_union(
+    img_0: np.ndarray, alpha_0: float, img_1: np.ndarray, alpha_1: float,
+    color: tuple,
+) -> np.ndarray:
+    """Weighted blend of an RGB image with a colorized grayscale mask
+    (reference helper: src/models/smp/utils.py:185-200)."""
+    colored = (
+        cv2.cvtColor(np.asarray(img_1, np.uint8), cv2.COLOR_GRAY2RGB)
+        * np.asarray(color)
+    ).astype(np.uint8)
+    return cv2.addWeighted(np.asarray(img_0, np.uint8), alpha_0, colored, alpha_1, 0)
+
+
+def get_img_color_mask(
+    img_0: np.ndarray, alpha_0: float, img_1: np.ndarray, alpha_1: float,
+    color: tuple,
+) -> np.ndarray:
+    """BGR variant of get_img_mask_union (reference: utils.py:216-231)."""
+    colored = (
+        cv2.cvtColor(np.asarray(img_1, np.uint8), cv2.COLOR_GRAY2BGR)
+        * np.asarray(color)
+    ).astype(np.uint8)
+    return cv2.addWeighted(np.asarray(img_0, np.uint8), alpha_0, colored, alpha_1, 0)
