@@ -18,7 +18,6 @@ import json
 import logging
 import os
 import subprocess
-import sys
 from typing import Dict, List, Optional
 
 import yaml

@@ -18,7 +18,7 @@ import os
 import shutil
 import subprocess
 from concurrent.futures import ThreadPoolExecutor
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import cv2
 import numpy as np

@@ -19,7 +19,7 @@ predicted mask (cam_processor.py:116-140).
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, List, Optional
+from typing import List
 
 import cv2
 import jax

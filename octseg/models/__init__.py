@@ -7,7 +7,7 @@ configs/train.yaml uses lowercase 'unet').
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 

@@ -8,7 +8,7 @@ model config (reference contract: src/models/smp/dataset.py:114-118).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

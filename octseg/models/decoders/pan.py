@@ -11,7 +11,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from octseg.models.common import ConvBNAct, resize_to, upsample
+from octseg.models.common import ConvBNAct, resize_to
 
 
 class FPABlock(nn.Module):

@@ -6,7 +6,7 @@ upsampling=8 — reference search space configs/tune.yaml:16).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

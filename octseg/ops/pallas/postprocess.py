@@ -31,7 +31,6 @@ chain is compute-dense enough per slab). HALO = 8 covers the receptive field
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -12,7 +12,7 @@ collectives instead of any hand-written communication:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import numpy as np

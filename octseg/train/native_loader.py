@@ -14,7 +14,6 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-from octseg.core.registry import CLASS_IDS
 from octseg.native import load_library
 
 

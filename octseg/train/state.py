@@ -7,7 +7,6 @@ semantics: wd*param is added to the gradient before the moment updates).
 
 from __future__ import annotations
 
-from typing import Any, Optional
 
 import jax.numpy as jnp
 import optax

@@ -16,7 +16,6 @@ Usage: python -m octseg.train.train [key=value ...]
 
 from __future__ import annotations
 
-import functools
 import logging
 import os
 import time

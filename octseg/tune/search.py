@@ -12,8 +12,7 @@ The search space mirrors configs/tune.yaml: 9 architectures x 9 encoders x
 
 from __future__ import annotations
 
-import math
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 
