@@ -1,0 +1,36 @@
+"""Differentiability of every architecture (eval_shape — no compilation)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from octseg.models import SUPPORTED_ARCHITECTURES, create_model
+from octseg.train.losses import dice_loss_from_logits
+
+RNGS = {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)}
+
+
+@pytest.mark.parametrize('arch', SUPPORTED_ARCHITECTURES)
+def test_arch_backward_shapes(arch):
+    model = create_model(arch, 'resnet18', classes=2)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    y = jnp.zeros((2, 64, 64, 2), jnp.float32)
+    variables = jax.eval_shape(functools.partial(model.init, train=False), RNGS, x)
+
+    def loss_fn(params):
+        logits, mutated = model.apply(
+            {'params': params, 'batch_stats': variables['batch_stats']},
+            x, train=True, mutable=['batch_stats'],
+            rngs={'dropout': RNGS['dropout']},
+        )
+        return dice_loss_from_logits(logits, y)
+
+    grads = jax.eval_shape(jax.grad(loss_fn), variables['params'])
+    # every parameter receives a gradient of its own shape
+    flat_p = jax.tree.leaves(variables['params'])
+    flat_g = jax.tree.leaves(grads)
+    assert len(flat_p) == len(flat_g)
+    for p, g in zip(flat_p, flat_g):
+        assert p.shape == g.shape

@@ -1,0 +1,64 @@
+"""Golden-file compatibility: octseg's vis layer consumes the REFERENCE's
+actual per-fold metrics CSVs (eval/training/{class}/fold_*/metrics.csv) —
+proof that the metrics.csv schema contract is byte-compatible both ways."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from octseg.core.config import Config
+
+
+@pytest.fixture
+def ref_eval(reference_dir):
+    d = f'{reference_dir}/eval/training'
+    if not os.path.isdir(f'{d}/Lumen/fold_1'):
+        pytest.skip('reference eval CSVs not available')
+    return d
+
+
+def test_draw_loss_plot_on_reference_csvs(ref_eval, tmp_path):
+    from octseg.vis.draw_loss_plot import main
+
+    main(Config(class_dir=f'{ref_eval}/Lumen', save_dir=str(tmp_path),
+                train_metric='Loss', test_metric='Dice', dpi=72))
+    assert (tmp_path / 'Loss_Dice_Lumen.png').exists()
+
+
+def test_draw_boxplots_on_reference_csvs(ref_eval, tmp_path):
+    from octseg.vis.draw_boxplots import main
+
+    class_dirs = [f'{ref_eval}/{c}' for c in
+                  ('Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum')]
+    main(Config(class_dirs=class_dirs, split='test', metric='Dice',
+                save_dir=str(tmp_path), dpi=72))
+    best = pd.read_csv(tmp_path / 'best_metrics.csv')
+    # best-epoch DSC means across folds should reproduce the published
+    # 5-fold numbers (README.md:70-75 / BASELINE.md) to rounding
+    published = {
+        'Lumen': 0.987, 'Fibrous cap': 0.736, 'Lipid core': 0.751,
+        'Vasa vasorum': 0.610,
+    }
+    for cls, expected in published.items():
+        got = best[best['Class'] == cls]['Dice'].mean()
+        assert abs(got - expected) < 0.02, (cls, got, expected)
+
+
+def test_our_csv_schema_matches_reference(ref_eval, tmp_path):
+    from octseg.train.metrics import save_metrics_on_epoch
+
+    ref = pd.read_csv(f'{ref_eval}/Lumen/fold_1/metrics.csv')
+    metrics = [{
+        'loss': np.float32(0.1),
+        'iou': np.full((2, 1), 0.9, np.float32),
+        'dice': np.full((2, 1), 0.9, np.float32),
+        'precision': np.full((2, 1), 0.9, np.float32),
+        'recall': np.full((2, 1), 0.9, np.float32),
+        'f1': np.full((2, 1), 0.9, np.float32),
+    }]
+    save_metrics_on_epoch(metrics, 'test', str(tmp_path), ['Lumen'], epoch=1)
+    ours = pd.read_csv(tmp_path / 'metrics.csv')
+    assert list(ours.columns) == list(ref.columns)
+    assert set(ours['Class']) <= set(ref['Class']) | {'Mean'}
