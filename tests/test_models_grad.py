@@ -19,15 +19,18 @@ def test_arch_backward_shapes(arch):
     y = jnp.zeros((2, 64, 64, 2), jnp.float32)
     variables = jax.eval_shape(functools.partial(model.init, train=False), RNGS, x)
 
-    def loss_fn(params):
-        logits, mutated = model.apply(
-            {'params': params, 'batch_stats': variables['batch_stats']},
+    def loss_fn(params, batch_stats):
+        logits, _mutated = model.apply(
+            {'params': params, 'batch_stats': batch_stats},
             x, train=True, mutable=['batch_stats'],
             rngs={'dropout': RNGS['dropout']},
         )
         return dice_loss_from_logits(logits, y)
 
-    grads = jax.eval_shape(jax.grad(loss_fn), variables['params'])
+    grads = jax.eval_shape(
+        lambda p, b: jax.grad(loss_fn)(p, b),
+        variables['params'], variables['batch_stats'],
+    )
     # every parameter receives a gradient of its own shape
     flat_p = jax.tree.leaves(variables['params'])
     flat_g = jax.tree.leaves(grads)
