@@ -24,7 +24,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from octseg.ops.warp import affine_matrix, perspective_from_corners, warp_single
+from octseg.ops.warp import (
+    _sample_bilinear,
+    _sample_nearest,
+    affine_matrix,
+    perspective_from_corners,
+)
 
 
 def _rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
@@ -61,57 +66,53 @@ def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
 
 def augment_pair(img: jnp.ndarray, mask: jnp.ndarray, key: jax.Array
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Augment one (H,W,3) image + (H,W,C) mask pair. Returns same shapes."""
+    """Augment one (H,W,3) image + (H,W,C) mask pair. Returns same shapes.
+
+    All geometric transforms (flip, shift-scale-rotate, crop+pad,
+    perspective) are composed into ONE homography + one rectangular validity
+    mask, so the whole pipeline costs a single bilinear gather pass for the
+    image and a single nearest pass for the mask (gathers dominate TPU
+    augmentation cost). Gaussian noise is applied after the warp — for i.i.d.
+    noise this is distribution-equivalent to the reference's pre-perspective
+    placement.
+    """
     h, w, _ = img.shape
     keys = jax.random.split(key, 16)
+    ident = jnp.eye(3)
 
-    # 1. horizontal flip
-    do = jax.random.uniform(keys[0]) < 0.5
-    img = jnp.where(do, img[:, ::-1, :], img)
-    mask = jnp.where(do, mask[:, ::-1, :], mask)
+    # 1. horizontal flip as a matrix (inverse map: x -> w-1-x)
+    do_flip = jax.random.uniform(keys[0]) < 0.5
+    m_flip = jnp.array([[-1.0, 0.0, w - 1.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    m_flip = jnp.where(do_flip, m_flip, ident)
 
-    # 2. shift-scale-rotate (border constant 0)
+    # 2. shift-scale-rotate (inverse map, border constant 0)
     do = jax.random.uniform(keys[1]) < 0.20
     shift_x = jax.random.uniform(keys[2], minval=-0.0625, maxval=0.0625) * w
     shift_y = jax.random.uniform(keys[3], minval=-0.0625, maxval=0.0625) * h
     scale = 1.0 + jax.random.uniform(keys[4], minval=-0.1, maxval=0.1)
     angle = jax.random.uniform(keys[5], minval=-15.0, maxval=15.0) * jnp.pi / 180.0
-    m = affine_matrix(shift_x, shift_y, scale, angle, (w - 1) / 2.0, (h - 1) / 2.0)
-    ident = jnp.eye(3)
-    m = jnp.where(do, m, ident)
-    img = warp_single(img, m, 'bilinear')
-    mask = warp_single(mask, m, 'nearest')
+    m_ssr = affine_matrix(shift_x, shift_y, scale, angle, (w - 1) / 2.0, (h - 1) / 2.0)
+    m_ssr = jnp.where(do, m_ssr, ident)
 
-    # 3. random crop to U(0.8,0.9)*size then center pad back (border 0).
-    #    Equivalent to a translation plus a rectangular validity mask.
-    do = jax.random.uniform(keys[6]) < 0.20
-    ch = jax.random.uniform(keys[7], minval=0.8, maxval=0.9) * h
-    cw = jax.random.uniform(keys[8], minval=0.8, maxval=0.9) * w
-    ch = jnp.floor(ch)
-    cw = jnp.floor(cw)
-    y0 = jax.random.uniform(keys[9]) * (h - ch)
-    x0 = jax.random.uniform(keys[10]) * (w - cw)
-    y0 = jnp.floor(y0)
-    x0 = jnp.floor(x0)
+    # 3. random crop to U(0.8,0.9)*size then center pad back (border 0):
+    #    a translation (inverse map: crop coords -> pre-crop coords) plus a
+    #    rectangular validity region in post-crop coordinates.
+    do_crop = jax.random.uniform(keys[6]) < 0.20
+    ch = jnp.floor(jax.random.uniform(keys[7], minval=0.8, maxval=0.9) * h)
+    cw = jnp.floor(jax.random.uniform(keys[8], minval=0.8, maxval=0.9) * w)
+    y0 = jnp.floor(jax.random.uniform(keys[9]) * (h - ch))
+    x0 = jnp.floor(jax.random.uniform(keys[10]) * (w - cw))
     pad_top = jnp.floor((h - ch) / 2.0)
     pad_left = jnp.floor((w - cw) / 2.0)
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-    inside = (
-        (ys >= pad_top) & (ys < pad_top + ch) & (xs >= pad_left) & (xs < pad_left + cw)
+    m_crop = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    ).at[0, 2].set(x0 - pad_left).at[1, 2].set(y0 - pad_top)
+    m_crop = jnp.where(do_crop, m_crop, ident)
+    rect = jnp.where(
+        do_crop,
+        jnp.array([pad_top, pad_top + ch, pad_left, pad_left + cw]),
+        jnp.array([-1.0, h + 1.0, -1.0, w + 1.0]),
     )
-    src_y = jnp.clip(ys - pad_top + y0, 0, h - 1).astype(jnp.int32)
-    src_x = jnp.clip(xs - pad_left + x0, 0, w - 1).astype(jnp.int32)
-    crop_img = img[src_y.squeeze(-1)][:, src_x.squeeze(0)] * inside[..., None]
-    crop_mask = mask[src_y.squeeze(-1)][:, src_x.squeeze(0)] * inside[..., None]
-    img = jnp.where(do, crop_img, img)
-    mask = jnp.where(do, crop_mask, mask)
-
-    # 4. gaussian noise on the image
-    do = jax.random.uniform(keys[11]) < 0.15
-    var = jax.random.uniform(keys[12], minval=1.5, maxval=6.5)
-    noise = jax.random.normal(keys[13], img.shape) * jnp.sqrt(var)
-    img = jnp.where(do, jnp.clip(img + noise, 0.0, 255.0), img)
 
     # 5. perspective: jitter the 4 corners by N(0, scale)·dim, keep size
     do = jax.random.uniform(keys[14]) < 0.20
@@ -121,10 +122,32 @@ def augment_pair(img: jnp.ndarray, mask: jnp.ndarray, key: jax.Array
     corners = jnp.array([[0.0, 0.0], [w - 1.0, 0.0], [w - 1.0, h - 1.0], [0.0, h - 1.0]])
     sign = jnp.array([[1, 1], [-1, 1], [-1, -1], [1, -1]], dtype=jnp.float32)
     src_pts = corners + jnp.abs(jitter) * sign * jnp.array([w, h], jnp.float32)
-    pm = perspective_from_corners(src_pts, corners)
-    pm = jnp.where(do, pm, jnp.eye(3))
-    img = warp_single(img, pm, 'bilinear')
-    mask = warp_single(mask, pm, 'nearest')
+    m_persp = jnp.where(do, perspective_from_corners(src_pts, corners), ident)
+
+    # --- one fused warp: out --P--> crop coords (validity) --T∘A∘F--> src ---
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing='ij',
+    )
+    out_coords = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
+    c3 = out_coords @ m_persp.T
+    c3 = c3 / c3[..., 2:3]
+    inside = (
+        (c3[..., 1] >= rect[0] - 0.5) & (c3[..., 1] < rect[1] - 0.5)
+        & (c3[..., 0] >= rect[2] - 0.5) & (c3[..., 0] < rect[3] - 0.5)
+    )[..., None]
+    m_pre = m_flip @ m_ssr @ m_crop  # crop coords -> source coords
+    src = c3 @ m_pre.T
+    sx = src[..., 0] / src[..., 2]
+    sy = src[..., 1] / src[..., 2]
+    img = _sample_bilinear(img, sx, sy, 0.0) * inside
+    mask = _sample_nearest(mask, sx, sy, 0.0) * inside
+
+    # 4. gaussian noise on the image (post-warp; i.i.d. ⇒ same distribution)
+    do = jax.random.uniform(keys[11]) < 0.15
+    var = jax.random.uniform(keys[12], minval=1.5, maxval=6.5)
+    noise = jax.random.normal(keys[13], img.shape) * jnp.sqrt(var)
+    img = jnp.where(do, jnp.clip(img + noise, 0.0, 255.0), img)
 
     # 6. brightness / contrast (brightness relative to max=255, cv2 convention)
     bkeys = jax.random.split(pkeys[2], 6)

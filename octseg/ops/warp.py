@@ -13,9 +13,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _flat_take(img_flat: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray,
+               h: int, w: int) -> jnp.ndarray:
+    """Single-axis gather from a (H*W, C) buffer — lowers much better on TPU
+    than 2-D advanced indexing."""
+    idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+    c = img_flat.shape[-1]
+    return jnp.take(img_flat, idx.reshape(-1), axis=0).reshape(*idx.shape, c)
+
+
 def _sample_bilinear(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
                      border_value: float) -> jnp.ndarray:
     h, w, c = img.shape
+    flat = img.reshape(h * w, c)
     x0 = jnp.floor(xs)
     y0 = jnp.floor(ys)
     wx = (xs - x0)[..., None]
@@ -25,7 +35,7 @@ def _sample_bilinear(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
 
     def gather(yi, xi):
         valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+        v = _flat_take(flat, yi, xi, h, w)
         return jnp.where(valid[..., None], v, border_value)
 
     v00 = gather(y0i, x0i)
@@ -40,10 +50,11 @@ def _sample_bilinear(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
 def _sample_nearest(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
                     border_value: float) -> jnp.ndarray:
     h, w, c = img.shape
+    flat = img.reshape(h * w, c)
     xi = jnp.round(xs).astype(jnp.int32)
     yi = jnp.round(ys).astype(jnp.int32)
     valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-    v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+    v = _flat_take(flat, yi, xi, h, w)
     return jnp.where(valid[..., None], v, border_value)
 
 
