@@ -41,14 +41,21 @@ log = logging.getLogger(__name__)
 
 
 def _loss_and_metrics(model, params, batch_stats, imgs, masks, train: bool,
-                      dropout_key=None):
+                      dropout_key=None, remat: bool = False):
     x = normalize_imagenet(imgs)
     variables = {'params': params, 'batch_stats': batch_stats}
     if train:
-        logits, mutated = model.apply(
-            variables, x, train=True, mutable=['batch_stats'],
-            rngs={'dropout': dropout_key},
-        )
+        def apply_fn(variables, x):
+            return model.apply(
+                variables, x, train=True, mutable=['batch_stats'],
+                rngs={'dropout': dropout_key},
+            )
+
+        if remat:
+            # trade FLOPs for memory: recompute activations in the backward
+            # pass (enables large batches / 896px inputs on one chip)
+            apply_fn = jax.checkpoint(apply_fn)
+        logits, mutated = apply_fn(variables, x)
         new_stats = mutated['batch_stats']
     else:
         logits = model.apply(variables, x, train=False)
@@ -57,7 +64,7 @@ def _loss_and_metrics(model, params, batch_stats, imgs, masks, train: bool,
     return loss, (logits, new_stats)
 
 
-def make_train_step(model, use_augmentation: bool):
+def make_train_step(model, use_augmentation: bool, remat: bool = False):
     def train_step(state: TrainState, imgs, masks, key):
         aug_key, dropout_key = jax.random.split(key)
         if use_augmentation:
@@ -66,7 +73,8 @@ def make_train_step(model, use_augmentation: bool):
 
         grad_fn = jax.value_and_grad(
             lambda p: _loss_and_metrics(
-                model, p, state.batch_stats, imgs, masks, True, dropout_key
+                model, p, state.batch_stats, imgs, masks, True, dropout_key,
+                remat=remat,
             ),
             has_aux=True,
         )
@@ -183,7 +191,11 @@ def train_model(
     state = replicate(state, mesh)
 
     train_step = jax.jit(
-        make_train_step(model, bool(cfg.get('use_augmentation', False))),
+        make_train_step(
+            model,
+            bool(cfg.get('use_augmentation', False)),
+            remat=bool(cfg.get('remat', False)),
+        ),
         in_shardings=(None, data_shard, data_shard, repl),
         donate_argnums=(0,),
     )
