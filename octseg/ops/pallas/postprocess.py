@@ -31,6 +31,7 @@ chain is compute-dense enough per slab). HALO = 8 covers the receptive field
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -178,3 +179,24 @@ def _fused_overlay_postprocess(masks: jnp.ndarray, interpret: bool = False):
 
 
 _fused_overlay_postprocess_jit = jax.jit(_fused_overlay_postprocess)
+
+
+def fused_overlay_postprocess_sharded(masks: jnp.ndarray, mesh,
+                                      interpret: bool = False):
+    """Mesh-parallel variant: the mask axis is sharded over the 1-D mesh and
+    each device runs the fused kernel on its shard (shard_map — no
+    collectives needed, the op is embarrassingly parallel along masks).
+
+    masks: (M, H, W) with M divisible by the mesh size.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    run = functools.partial(_fused_overlay_postprocess, interpret=interpret)
+    fn = jax.shard_map(
+        run, mesh=mesh,
+        in_specs=P(axis),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotations
+    )
+    return fn(masks)

@@ -51,3 +51,19 @@ def test_fused_postprocess_multi_tile(rng):
     fill, ring = fused_overlay_postprocess(jnp.asarray(masks), interpret=True)
     np.testing.assert_array_equal(np.asarray(ring), np.asarray(ring_ref))
     np.testing.assert_allclose(np.asarray(fill), np.asarray(fill_ref), atol=1e-5)
+
+
+def test_fused_postprocess_sharded_over_mesh(rng):
+    """shard_map composition: the Pallas kernel runs per-device over an
+    8-device mesh along the mask axis (multi-chip save_results path)."""
+    from octseg.ops.pallas.postprocess import fused_overlay_postprocess_sharded
+    from octseg.parallel.sharding import make_mesh
+
+    masks = _random_masks(rng, 8, 64, 96)
+    mesh = make_mesh(8)
+    fill_ref, ring_ref = _postprocess_chain(jnp.asarray(masks))
+    fill, ring = fused_overlay_postprocess_sharded(
+        jnp.asarray(masks), mesh, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ring), np.asarray(ring_ref))
+    np.testing.assert_allclose(np.asarray(fill), np.asarray(fill_ref), atol=1e-5)
