@@ -140,7 +140,7 @@ def augment_pair(img: jnp.ndarray, mask: jnp.ndarray, key: jax.Array
     src = c3 @ m_pre.T
     sx = src[..., 0] / src[..., 2]
     sy = src[..., 1] / src[..., 2]
-    img = _sample_bilinear(img, sx, sy, 0.0) * inside
+    img = _sample_bilinear(img, sx, sy, 0.0, tap_dtype=jnp.bfloat16) * inside
     mask = _sample_nearest(mask, sx, sy, 0.0) * inside
 
     # 4. gaussian noise on the image (post-warp; i.i.d. ⇒ same distribution)
