@@ -116,6 +116,13 @@ def parse_overrides(argv: List[str]) -> Dict[str, Any]:
             value = yaml.safe_load(raw)
         except yaml.YAMLError:
             value = raw
+        if isinstance(value, str):
+            # YAML 1.1 reads '1e-5' as a string (no dot before the exponent);
+            # users write lr=1e-5 constantly, so coerce numeric-looking strings
+            try:
+                value = float(value)
+            except ValueError:
+                pass
         out[key] = value
     return out
 

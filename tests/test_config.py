@@ -1,0 +1,81 @@
+import os
+
+import pytest
+
+from octseg.core.config import Config, load_config, parse_overrides
+
+
+@pytest.fixture
+def config_dir(tmp_path):
+    (tmp_path / 'main.yaml').write_text('project_name: OCT segmentation\nseed: 11\n')
+    (tmp_path / 'train.yaml').write_text(
+        'defaults:\n- main\n- _self_\n\n'
+        'data_dir: data/cv/fold_1\nlr: 0.0001\nclasses:\n- Lumen\n'
+        'nested:\n  a: 1\n  b: 2\n'
+    )
+    return str(tmp_path)
+
+
+def test_composition_and_attribute_access(config_dir):
+    cfg = load_config('train', config_dir=config_dir)
+    assert cfg.project_name == 'OCT segmentation'  # from main
+    assert cfg.seed == 11
+    assert cfg.lr == 0.0001
+    assert cfg.classes == ['Lumen']
+    assert cfg.nested.a == 1
+
+
+def test_cli_overrides(config_dir):
+    cfg = load_config(
+        'train',
+        overrides=['lr=0.01', 'classes=[Lumen,"Fibrous cap"]', 'nested.b=7',
+                   'new_key=hello', 'flag=true'],
+        config_dir=config_dir,
+    )
+    assert cfg.lr == 0.01
+    assert cfg.classes == ['Lumen', 'Fibrous cap']
+    assert cfg.nested.b == 7 and cfg.nested.a == 1
+    assert cfg.new_key == 'hello'
+    assert cfg.flag is True
+
+
+def test_parse_overrides_typing():
+    out = parse_overrides(['a=1', 'b=1e-5', 'c=null', 'd=[1,2]', 'e=text'])
+    assert out['a'] == 1 and out['b'] == 1e-5 and out['c'] is None
+    assert out['d'] == [1, 2] and out['e'] == 'text'
+    with pytest.raises(ValueError):
+        parse_overrides(['no_equals_sign'])
+
+
+def test_config_to_yaml_roundtrip():
+    import yaml
+
+    cfg = Config(a=1, b={'c': [1, 2]}, d='x')
+    back = yaml.safe_load(cfg.to_yaml())
+    assert back == {'a': 1, 'b': {'c': [1, 2]}, 'd': 'x'}
+
+
+def test_repo_configs_all_loadable():
+    import octseg
+
+    config_dir = os.path.join(octseg.PROJECT_DIR, 'configs')
+    for fname in sorted(os.listdir(config_dir)):
+        if fname.endswith('.yaml') and fname != 'main.yaml':
+            cfg = load_config(fname[:-5], config_dir=config_dir)
+            assert cfg.get('project_name') == 'OCT segmentation', fname
+
+
+def test_scalar_logger(tmp_path):
+    import json
+
+    from octseg.core.logging_utils import ScalarLogger
+
+    logger = ScalarLogger(str(tmp_path))
+    logger.log_scalars({'loss': 0.5, 'f1': 0.8}, step=1)
+    logger.log_scalars({'loss': 0.4, 'f1': 0.9}, step=2)
+    lines = [json.loads(line) for line in open(tmp_path / 'scalars.jsonl')]
+    assert lines[0] == {'step': 1, 'loss': 0.5, 'f1': 0.8}
+    assert logger.update_summary('best_f1', 0.8)
+    assert logger.update_summary('best_f1', 0.9)
+    assert not logger.update_summary('best_f1', 0.7)
+    assert logger.summary['best_f1'] == 0.9
