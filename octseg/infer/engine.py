@@ -28,7 +28,7 @@ from PIL import Image
 
 from octseg.data.utils import preprocessing_img
 from octseg.models import create_model
-from octseg.ops.normalize import sigmoid_threshold
+from octseg.ops.normalize import normalize_imagenet, sigmoid_threshold
 from octseg.ops.resize import resize_bilinear, resize_nearest
 from octseg.parallel.sharding import batch_sharding, make_mesh, replicated_sharding
 from octseg.train.checkpoint import restore_weights_into
@@ -106,6 +106,11 @@ class InferenceEngine:
         repl = replicated_sharding(self.mesh)
         input_size = model_cfg['input_size']
 
+        # octseg-trained manifests declare normalize=true (inference matches
+        # training); absent key = reference predict() parity — raw BGR 0..255
+        # floats with no mean/std (src/models/smp/model.py:183-200 quirk).
+        normalize = bool(model_cfg.get('normalize', False))
+
         def forward(variables, imgs):
             if device_preprocess:
                 # fused on-device preprocessing: uint8 RGB frames at native
@@ -113,7 +118,8 @@ class InferenceEngine:
                 # (replaces the per-frame host cv2 path, SURVEY §3.1)
                 imgs = imgs[..., ::-1].astype(jnp.float32)
                 imgs = resize_bilinear(imgs, (input_size, input_size))
-            # ref predict() parity: raw BGR 0..255 floats, no normalization
+            if normalize:
+                imgs = normalize_imagenet(imgs)
             logits = model.apply(variables, imgs, train=False)
             masks = sigmoid_threshold(logits)
             masks = resize_nearest(masks, (out_h, out_w))

@@ -82,6 +82,7 @@ def create_model(
         decoder=decoder,
         classes=classes,
         head_upsampling=decoder.upsampling,
+        head_kernel=1 if key == 'linknet' else 3,  # smp linknet head is 1x1
         dtype=dtype,
     )
 

@@ -19,11 +19,16 @@ from octseg.models.common import upsample
 class SegmentationHead(nn.Module):
     classes: int
     upsampling: int = 1
+    kernel: int = 3  # SMP default; Linknet uses 1 (smp linknet/model.py)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(self.classes, (3, 3), padding='SAME', dtype=self.dtype)(x)
+        k = self.kernel
+        x = nn.Conv(
+            self.classes, (k, k), padding=((k // 2, k // 2), (k // 2, k // 2)),
+            dtype=self.dtype,
+        )(x)
         if self.upsampling > 1:
             x = upsample(x, self.upsampling, method='bilinear')
         return x.astype(jnp.float32)  # logits always fp32 for stable loss
@@ -34,10 +39,13 @@ class SegmentationModel(nn.Module):
     decoder: nn.Module
     classes: int
     head_upsampling: int = 1
+    head_kernel: int = 3
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.head = SegmentationHead(self.classes, self.head_upsampling, dtype=self.dtype)
+        self.head = SegmentationHead(
+            self.classes, self.head_upsampling, self.head_kernel, dtype=self.dtype
+        )
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         return self.decode(self.encoder(x, train=train), train=train)

@@ -44,13 +44,21 @@ class ConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # Torch-style symmetric padding (pad = dilation*(k-1)//2 per side).
+        # Identical to SAME for stride-1 odd kernels; for stride-2 convs it
+        # pins the window alignment to torch semantics, which makes converted
+        # torch checkpoints (octseg.models.convert_torch) numerically exact.
+        padding = tuple(
+            (d * (k - 1) // 2, d * (k - 1) // 2)
+            for k, d in zip(self.kernel_size, self.dilation)
+        )
         x = nn.Conv(
             self.features,
             self.kernel_size,
             strides=self.strides,
             kernel_dilation=self.dilation,
             feature_group_count=self.groups,
-            padding='SAME',
+            padding=padding,
             use_bias=self.use_bias or not self.use_bn,
             dtype=self.dtype,
         )(x)

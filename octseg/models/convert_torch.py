@@ -1,0 +1,339 @@
+"""Torch -> Flax weight converter for the reference checkpoint layout.
+
+The reference ships Lightning checkpoints (``weights.ckpt``) whose
+``state_dict`` wraps an SMP model: ``model.encoder.*`` (torchvision/timm
+backbone), ``model.decoder.*`` (SMP decoder), ``model.segmentation_head.*``,
+plus ``mean``/``std`` preprocessing buffers (reference:
+src/models/smp/model.py:38-51, loaded by src/predict.py:31-50).  This module
+maps those tensors weight-for-weight onto octseg's Flax models, which were
+built op-isomorphic to SMP for the supported pairs, so converted checkpoints
+are numerically exact (verified to ~1e-4 fp32 in tests/test_convert_torch.py
+against torch forward passes).
+
+Supported today:
+- encoders: resnet18/34/50/101/152 (torchvision naming: ``conv1``, ``bn1``,
+  ``layer{1..4}.{b}.conv{i}/bn{i}/downsample``),
+- decoders: Unet (``decoder.blocks.{i}.conv{1,2}.{0,1}``), UnetPlusPlus
+  (``decoder.blocks.x_{d}_{l}.conv{1,2}.{0,1}``), Linknet
+  (``decoder.blocks.{i}.block.{0,2}.{0,1}`` + TransposeX2 ``block.1``),
+- segmentation head (``segmentation_head.0``).
+
+Documented but not yet wired (shapes differ from our TPU-first designs):
+- timm-regnetx/regnety (``s{1..4}.b{n}.conv1/conv2/conv3/se`` timm naming),
+- efficientnet-b0/5/7 (``blocks.{s}.{b}.conv_dw/se/conv_pwl`` timm naming).
+Passing one raises NotImplementedError naming the family.
+
+Layout conventions:
+- torch Conv2d weight OIHW  -> flax kernel HWIO (transpose 2,3,1,0),
+- torch ConvTranspose2d weight (I,O,H,W) -> flax ConvTranspose with
+  ``transpose_kernel=True`` keeps torch's gradient-of-conv semantics; kernel
+  stays (H,W,O,I) after transpose(2,3,1,0),
+- BatchNorm weight/bias -> scale/bias; running_mean/var -> batch_stats.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_RESNET_LAYERS = {
+    'resnet18': ((2, 2, 2, 2), 'BasicBlock', 2),
+    'resnet34': ((3, 4, 6, 3), 'BasicBlock', 2),
+    'resnet50': ((3, 4, 6, 3), 'Bottleneck', 3),
+    'resnet101': ((3, 4, 23, 3), 'Bottleneck', 3),
+    'resnet152': ((3, 8, 36, 3), 'Bottleneck', 3),
+}
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch/Lightning checkpoint file into {name: np.ndarray}.
+
+    Accepts a Lightning ckpt ({'state_dict': ...}), a bare state_dict, or an
+    encoder-only state dict (torchvision/timm download format).
+    """
+    import torch
+
+    raw = torch.load(path, map_location='cpu', weights_only=False)
+    if isinstance(raw, dict) and 'state_dict' in raw:
+        raw = raw['state_dict']
+    return {k: v.numpy() if hasattr(v, 'numpy') else np.asarray(v)
+            for k, v in raw.items()}
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+class _Builder:
+    """Accumulates flax param/batch_stats leaves and tracks consumed keys."""
+
+    def __init__(self, sd: Dict[str, np.ndarray]):
+        self.sd = sd
+        self.params: Dict[Tuple[str, ...], np.ndarray] = {}
+        self.stats: Dict[Tuple[str, ...], np.ndarray] = {}
+        self.consumed = set()
+
+    def take(self, key: str) -> np.ndarray:
+        if key not in self.sd:
+            raise KeyError(f'torch checkpoint is missing {key!r}')
+        self.consumed.add(key)
+        return self.sd[key]
+
+    def conv(self, tkey: str, fpath: str, bias: bool = False,
+             transpose: bool = False) -> None:
+        w = self.take(tkey + '.weight')
+        kernel = w.transpose(2, 3, 1, 0)
+        self.params[tuple(fpath.split('/')) + ('kernel',)] = \
+            np.ascontiguousarray(kernel)
+        if bias or tkey + '.bias' in self.sd:
+            self.params[tuple(fpath.split('/')) + ('bias',)] = self.take(tkey + '.bias')
+
+    def bn(self, tkey: str, fpath: str) -> None:
+        path = tuple(fpath.split('/'))
+        self.params[path + ('scale',)] = self.take(tkey + '.weight')
+        self.params[path + ('bias',)] = self.take(tkey + '.bias')
+        self.stats[path + ('mean',)] = self.take(tkey + '.running_mean')
+        self.stats[path + ('var',)] = self.take(tkey + '.running_var')
+        self.consumed.add(tkey + '.num_batches_tracked')
+
+    def conv_bn(self, tconv: str, tbn: str, fprefix: str) -> None:
+        self.conv(tconv, fprefix + '/Conv_0')
+        self.bn(tbn, fprefix + '/BatchNorm_0')
+
+
+def _convert_encoder_family(b: _Builder, prefix: str, encoder_name: str,
+                            scope: str) -> None:
+    """Dispatch to the encoder family's converter; clear error otherwise."""
+    if encoder_name in _RESNET_LAYERS:
+        _convert_resnet(b, prefix, encoder_name, scope)
+    elif encoder_name.startswith(('timm-regnet', 'regnet')):
+        raise NotImplementedError(
+            'regnet conversion: timm naming is s{1..4}.b{n}.conv1/conv2/conv3 '
+            '(+ se for regnety); octseg RegNetEncoder block layout must be '
+            'aligned first — not wired yet'
+        )
+    elif 'efficientnet' in encoder_name:
+        raise NotImplementedError(
+            'efficientnet conversion: timm naming is conv_stem/bn1 + '
+            'blocks.{s}.{b}.(conv_dw|se|conv_pw|conv_pwl); octseg '
+            'EfficientNetEncoder block layout must be aligned first — not '
+            'wired yet'
+        )
+    else:
+        raise NotImplementedError(f'no converter for encoder {encoder_name!r}')
+
+
+def _convert_resnet(b: _Builder, prefix: str, variant: str, scope: str) -> None:
+    layers, block_name, nconv = _RESNET_LAYERS[variant]
+    b.conv_bn(prefix + 'conv1', prefix + 'bn1', f'{scope}/ConvBNAct_0')
+    k = 0
+    for stage, n_blocks in enumerate(layers, start=1):
+        for blk in range(n_blocks):
+            t = f'{prefix}layer{stage}.{blk}'
+            f = f'{scope}/{block_name}_{k}'
+            for i in range(nconv):
+                b.conv_bn(f'{t}.conv{i + 1}', f'{t}.bn{i + 1}', f'{f}/ConvBNAct_{i}')
+            if f'{t}.downsample.0.weight' in b.sd:
+                b.conv_bn(f'{t}.downsample.0', f'{t}.downsample.1',
+                          f'{f}/ConvBNAct_{nconv}')
+            k += 1
+    # classification head of a bare torchvision state dict: not part of the
+    # segmentation model
+    for key in ('fc.weight', 'fc.bias'):
+        b.consumed.add(prefix + key)
+
+
+def _convert_unet_decoder(b: _Builder, prefix: str, scope: str) -> None:
+    for i in range(5):
+        t = f'{prefix}blocks.{i}'
+        f = f'{scope}/DecoderBlock_{i}'
+        b.conv_bn(f'{t}.conv1.0', f'{t}.conv1.1', f'{f}/ConvBNAct_0')
+        b.conv_bn(f'{t}.conv2.0', f'{t}.conv2.1', f'{f}/ConvBNAct_1')
+
+
+# our U-Net++ grid nodes in flax creation order (j outer, i inner; see
+# octseg/models/decoders/unet.py) with their SMP block names x_{d}_{l}
+# (d = 4-i-j, l = 3-i), followed by the full-resolution block x_0_4.
+_UNETPP_NODES: List[Tuple[int, int]] = [
+    (i, j) for j in range(1, 5) for i in range(0, 5 - j)
+]
+
+
+def _convert_unetpp_decoder(b: _Builder, prefix: str, scope: str) -> None:
+    names = [f'x_{4 - i - j}_{3 - i}' for (i, j) in _UNETPP_NODES] + ['x_0_4']
+    for m, smp_name in enumerate(names):
+        t = f'{prefix}blocks.{smp_name}'
+        b.conv_bn(f'{t}.conv1.0', f'{t}.conv1.1', f'{scope}/ConvBNAct_{2 * m}')
+        b.conv_bn(f'{t}.conv2.0', f'{t}.conv2.1', f'{scope}/ConvBNAct_{2 * m + 1}')
+
+
+def _convert_linknet_decoder(b: _Builder, prefix: str, scope: str) -> None:
+    for i in range(5):
+        t = f'{prefix}blocks.{i}.block'
+        f = f'{scope}/LinkNetDecoderBlock_{i}'
+        b.conv_bn(f'{t}.0.0', f'{t}.0.1', f'{f}/ConvBNAct_0')
+        # TransposeX2: ConvTranspose2d(k=4, s=2, p=1) + BN + ReLU.
+        w = b.take(f'{t}.1.0.weight')  # (I, O, H, W)
+        b.params[tuple(f'{f}/ConvTranspose_0'.split('/')) + ('kernel',)] = \
+            np.ascontiguousarray(w.transpose(2, 3, 1, 0))  # (H, W, O, I)
+        if f'{t}.1.0.bias' in b.sd:
+            b.params[tuple(f'{f}/ConvTranspose_0'.split('/')) + ('bias',)] = \
+                b.take(f'{t}.1.0.bias')
+        b.bn(f'{t}.1.1', f'{f}/BatchNorm_0')
+        b.conv_bn(f'{t}.2.0', f'{t}.2.1', f'{f}/ConvBNAct_1')
+
+
+_DECODER_CONVERTERS = {
+    'unet': _convert_unet_decoder,
+    'unetplusplus': _convert_unetpp_decoder,
+    'linknet': _convert_linknet_decoder,
+}
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for path, leaf in flat.items():
+        node = tree
+        for part in path[:-1]:
+            node = node.setdefault(part, {})
+        node[path[-1]] = leaf
+    return tree
+
+
+def convert_encoder(sd: Dict[str, np.ndarray], encoder_name: str,
+                    prefix: str = '') -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Convert a bare torch encoder state dict (e.g. torchvision ImageNet
+    weights) into (params, batch_stats) subtrees for the ``encoder`` scope."""
+    b = _Builder(sd)
+    _convert_encoder_family(b, prefix, encoder_name, 'encoder')
+    params = _unflatten(b.params)['encoder']
+    stats = _unflatten(b.stats)['encoder']
+    return params, stats
+
+
+def convert_checkpoint(
+    sd: Dict[str, np.ndarray], architecture: str, encoder_name: str
+) -> Dict[str, Any]:
+    """Convert a full reference model state dict (Lightning ``state_dict``
+    with ``model.`` prefixes, or a bare SMP state dict) into an octseg
+    variables tree {'params': ..., 'batch_stats': ...}."""
+    from octseg.models import normalize_arch
+
+    arch_key = normalize_arch(architecture)
+    if arch_key not in _DECODER_CONVERTERS:
+        raise NotImplementedError(
+            f'no decoder converter for {architecture!r} (supported: '
+            f'{sorted(_DECODER_CONVERTERS)})'
+        )
+    prefix = 'model.' if any(k.startswith('model.') for k in sd) else ''
+    b = _Builder(sd)
+    _convert_encoder_family(b, f'{prefix}encoder.', encoder_name, 'encoder')
+    _DECODER_CONVERTERS[arch_key](b, f'{prefix}decoder.', 'decoder')
+    b.conv(f'{prefix}segmentation_head.0', 'head/Conv_0')
+    for aux in ('mean', 'std'):  # SMP preprocessing buffers (model.py:49-51)
+        b.consumed.add(aux)
+        b.consumed.add(prefix + aux)
+    leftover = [k for k in sd if k not in b.consumed
+                and not k.endswith('num_batches_tracked')]
+    if leftover:
+        log.warning('unconsumed torch keys: %s', leftover[:10])
+    return {'params': _unflatten(b.params), 'batch_stats': _unflatten(b.stats)}
+
+
+def _check_tree_shapes(got: Dict[str, Any], want: Dict[str, Any], path: str = ''
+                       ) -> List[str]:
+    errors = []
+    for key in set(got) | set(want):
+        p = f'{path}/{key}'
+        if key not in got:
+            errors.append(f'missing {p}')
+        elif key not in want:
+            errors.append(f'unexpected {p}')
+        elif isinstance(want[key], dict):
+            errors.extend(_check_tree_shapes(got[key], want[key], p))
+        elif tuple(np.shape(got[key])) != tuple(np.shape(want[key])):
+            errors.append(
+                f'shape mismatch at {p}: got {np.shape(got[key])}, '
+                f'model wants {np.shape(want[key])}'
+            )
+    return errors
+
+
+def convert_reference_model_dir(
+    torch_model_dir: str,
+    out_model_dir: str,
+    input_size: Optional[int] = None,
+) -> str:
+    """Convert a reference model dir (config.json + torch weights.ckpt,
+    reference predict.py:31-50 layout) into an octseg model dir with the same
+    contract. Returns out_model_dir."""
+    import json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from octseg.models import create_model
+    from octseg.train.checkpoint import save_weights
+
+    with open(os.path.join(torch_model_dir, 'config.json')) as f:
+        cfg = json.load(f)
+    sd = load_torch_state_dict(os.path.join(torch_model_dir, 'weights.ckpt'))
+    variables = convert_checkpoint(sd, cfg['architecture'], cfg['encoder'])
+
+    size = int(input_size or cfg['input_size'])
+    model = create_model(cfg['architecture'], cfg['encoder'],
+                         classes=len(cfg['classes']))
+    ref = jax.eval_shape(
+        lambda: model.init(
+            {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(0)},
+            jnp.zeros((1, size, size, 3), jnp.float32), train=False,
+        )
+    )
+    errors = _check_tree_shapes(variables['params'], ref['params'])
+    errors += _check_tree_shapes(variables['batch_stats'], ref['batch_stats'])
+    if errors:
+        raise ValueError(
+            'converted tree does not match the model:\n  ' + '\n  '.join(errors[:20])
+        )
+
+    os.makedirs(out_model_dir, exist_ok=True)
+    save_weights(os.path.join(out_model_dir, 'weights.ckpt'),
+                 variables['params'], variables['batch_stats'])
+    with open(os.path.join(out_model_dir, 'config.json'), 'w') as f:
+        json.dump(cfg, f, indent=2)
+    log.info('converted %s -> %s', torch_model_dir, out_model_dir)
+    return out_model_dir
+
+
+def load_pretrained_encoder(
+    variables: Dict[str, Any], state_dict_path: str, encoder_name: str
+) -> Dict[str, Any]:
+    """Merge converted torch encoder weights (e.g. ImageNet pretraining, the
+    reference's encoder_weights='imagenet' path, src/models/smp/model.py:38-44)
+    into freshly-initialized model variables. Decoder/head stay random."""
+    sd = load_torch_state_dict(state_dict_path)
+    # accept full-model dicts too
+    if any(k.startswith(('model.encoder.', 'encoder.')) for k in sd):
+        pre = 'model.encoder.' if any(k.startswith('model.encoder.') for k in sd) \
+            else 'encoder.'
+        sd = {k[len(pre):]: v for k, v in sd.items() if k.startswith(pre)}
+    enc_params, enc_stats = convert_encoder(sd, encoder_name)
+    errors = _check_tree_shapes(enc_params, variables['params']['encoder'])
+    errors += _check_tree_shapes(enc_stats, variables['batch_stats']['encoder'])
+    if errors:
+        raise ValueError(
+            'pretrained encoder does not match the model:\n  '
+            + '\n  '.join(errors[:20])
+        )
+    out = {
+        'params': dict(variables['params']),
+        'batch_stats': dict(variables['batch_stats']),
+    }
+    out['params']['encoder'] = enc_params
+    out['batch_stats']['encoder'] = enc_stats
+    return out

@@ -53,7 +53,18 @@ class UnetDecoder(nn.Module):
 
 
 class UnetPlusPlusDecoder(nn.Module):
-    """Nested dense-skip decoder (U-Net++)."""
+    """Nested dense-skip decoder (U-Net++).
+
+    Structurally isomorphic to SMP's UnetPlusPlusDecoder (the reference's
+    Lumen winner wraps it, src/models/smp/model.py:38-44): node (i, j) here is
+    SMP's ``x_{4-i-j}_{3-i}`` and the final full-res block is ``x_0_4``.
+    Channel policy and concat order follow SMP so torch checkpoints convert
+    weight-for-weight (octseg.models.convert_torch):
+    - nodes on the last column of each level (j == 4-i) output
+      decoder_channels[3-i]; all other grid nodes output the encoder channel
+      count of their level,
+    - concatenation is [upsampled-below, column j-1, ..., column 1, encoder].
+    """
 
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Any = jnp.float32
@@ -71,8 +82,11 @@ class UnetPlusPlusDecoder(nn.Module):
         for j in range(1, depth + 1):
             for i in range(0, 5 - j):
                 below = grid[(i + 1, j - 1)]
-                same_level = [grid[(i, k)] for k in range(j)]
-                ch = self.decoder_channels[len(self.decoder_channels) - 2 - i]
+                same_level = [grid[(i, k)] for k in range(j - 1, -1, -1)]
+                if j == 4 - i:  # last column at this level
+                    ch = self.decoder_channels[3 - i]
+                else:
+                    ch = enc[i].shape[-1]
                 x = upsample(below, 2)
                 x = jnp.concatenate([x] + same_level, axis=-1)
                 x = ConvBNAct(ch, (3, 3), dtype=self.dtype)(x, train)

@@ -92,7 +92,8 @@ class ResNetEncoder(nn.Module):
         features = [x]
         y = ConvBNAct(64, (7, 7), (2, 2), dtype=self.dtype)(x, train)  # 1/2
         features.append(y)
-        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding='SAME')  # 1/4
+        # torch maxpool semantics: kernel 3, stride 2, symmetric padding 1
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))  # 1/4
 
         current_stride = 4
         dilation = 1

@@ -103,6 +103,7 @@ def initialize_model_dir(
                 'batch_size': 4,
                 'optimizer': 'Adam',
                 'lr': 1e-4,
+                'normalize': True,  # octseg-trained: inference matches training
             },
             f, indent=2,
         )
@@ -123,6 +124,11 @@ def save_manifest(model_dir: str, cfg: Any, model_name: str) -> None:
                 'batch_size': cfg.batch_size,
                 'optimizer': cfg.optimizer,
                 'lr': cfg.lr,
+                # octseg-trained models apply ImageNet mean/std at inference
+                # exactly as in training. Reference-converted dirs omit the
+                # key, preserving the reference predict() quirk of skipping
+                # normalization (src/models/smp/model.py:183-200).
+                'normalize': True,
             },
             f,
             indent=2,

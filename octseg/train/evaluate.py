@@ -23,7 +23,7 @@ import numpy as np
 
 from octseg.core.config import Config, entry_point
 from octseg.infer.engine import load_model_bundle
-from octseg.ops.normalize import sigmoid_threshold
+from octseg.ops.normalize import normalize_imagenet, sigmoid_threshold
 from octseg.train.data import OCTDataset, PrefetchLoader
 from octseg.train.metrics import compute_metrics
 
@@ -40,7 +40,17 @@ def evaluate_model(model_dir: str, data_dir: str, batch_size: int = 8,
     )
     loader = PrefetchLoader(dataset, batch_size, shuffle=False, drop_last=False)
 
-    forward = jax.jit(lambda x: model.apply(variables, x, train=False))
+    # Training-parity semantics: the reference's published metrics come from
+    # forward(), which applies mean/std normalization (src/models/smp/
+    # model.py:65-71) — unlike its predict() path. Manifest can opt out.
+    normalize = bool(model_cfg.get('normalize', True))
+
+    def _forward(x):
+        if normalize:
+            x = normalize_imagenet(x)
+        return model.apply(variables, x, train=False)
+
+    forward = jax.jit(_forward)
     per_class = {name: [] for name in ('iou', 'dice', 'precision', 'recall', 'f1')}
     for imgs, masks in loader:
         logits = forward(jnp.asarray(imgs))

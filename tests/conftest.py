@@ -15,10 +15,24 @@ if 'xla_force_host_platform_device_count' not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize (PYTHONPATH) imports jax at interpreter start, so the
+# env var above can be too late — the config value is what the backend
+# selector actually reads.  Force it, then verify the mesh is real: without
+# the assert, "8-device" tests silently run on a 1-device TPU and still pass.
+jax.config.update('jax_platforms', 'cpu')
+
 # Persistent compilation cache: CPU test compiles dominate suite runtime;
 # repeat runs hit the cache and are ~10x faster.
 jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_octseg_tests')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+assert jax.default_backend() == 'cpu', (
+    f'test harness must run on CPU, got {jax.default_backend()}'
+)
+assert jax.device_count() == 8, (
+    f'test harness needs an 8-device virtual CPU mesh, have {jax.device_count()} '
+    f'device(s) — XLA_FLAGS force_host_platform_device_count was not honored'
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
