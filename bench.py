@@ -34,6 +34,9 @@ ENSEMBLE = [
 ]
 
 
+V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s per chip
+
+
 def build(arch, encoder, classes):
     from octseg.models import create_model
     from octseg.ops.normalize import sigmoid_threshold
@@ -51,7 +54,15 @@ def build(arch, encoder, classes):
         logits = model.apply(variables, imgs, train=False)
         return resize_nearest(sigmoid_threshold(logits), OUT)
 
-    return forward, variables
+    # analytical cost of the whole jitted graph (XLA's own accounting):
+    # flops here are counted at the HLO level (a bf16 MXU matmul still
+    # counts each multiply-add as 2 flops)
+    try:
+        cost = forward.lower(variables, imgs).compile().cost_analysis()
+        flops = float(cost.get('flops', 0.0))
+    except Exception:
+        flops = 0.0
+    return forward, variables, flops
 
 
 def main():
@@ -69,25 +80,48 @@ def main():
         return float(np.asarray(jax.device_get(probe(out))))
 
     # warmup (compile everything incl. the probe)
-    for fn, variables in fns:
+    for fn, variables, _flops in fns:
         sync(fn(variables, imgs))
+
+    # per-model timing (diagnostic, stderr): where the ensemble time goes
+    import sys
+
+    per_model = []
+    for (arch, enc, _c), (fn, variables, flops) in zip(ENSEMBLE, fns):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(3):
+            out = fn(variables, imgs)
+        sync(out)
+        dt = (time.perf_counter() - t0) / 3
+        mfu = flops / dt / V5E_BF16_PEAK if flops else 0.0
+        per_model.append(dt)
+        print(f'# {arch}/{enc}: {dt * 1e3:.1f} ms/block '
+              f'({BATCH / dt:.1f} f/s, {flops / 1e12:.2f} TFLOP, '
+              f'mfu {mfu:.1%})', file=sys.stderr, flush=True)
 
     iters = 3
     t0 = time.perf_counter()
-    out = None
     for _ in range(iters):
-        for fn, variables in fns:
+        out = None
+        for fn, variables, _flops in fns:
             out = fn(variables, imgs)
-    sync(out)  # the device queue is FIFO: last result ⇒ all work done
+        # sync once per ensemble pass: bounds live buffers (the three models'
+        # full-res activations would otherwise all stay in flight and OOM a
+        # 16 GB chip); the device queue is FIFO so this waits for all three
+        sync(out)
     dt = time.perf_counter() - t0
 
     frames = BATCH * iters  # each frame goes through the whole ensemble
     fps_per_chip = frames / dt / n_chips
+    total_flops = sum(flops for _fn, _v, flops in fns) * iters
+    mfu = total_flops / dt / (V5E_BF16_PEAK * n_chips)
     print(json.dumps({
         'metric': 'OCT frames/sec/chip (512^2 3-model ensemble inference)',
         'value': round(fps_per_chip, 2),
         'unit': 'frames/s/chip',
         'vs_baseline': round(fps_per_chip / TARGET_FPS_PER_CHIP, 3),
+        'mfu': round(mfu, 4),
     }))
 
 

@@ -132,6 +132,63 @@ def _run_inference_into(work_dir: str, dcm_path: str, models_dir: str,
         )
 
 
+def frame_contours(
+    data: Dict[str, Any], img_num: int, classes: Optional[List[str]] = None
+) -> Dict[str, Any]:
+    """Per-object contour polygons + hover fields for one frame.
+
+    The JSON payload behind the interactive viewer — the octseg equivalent of
+    the reference's plotly filled scatter traces with hover tooltips
+    (reference: src/app/tools/img_viewer.py:13-97: find_contours at 0.5,
+    per-class fill, hover shows area / mean / min thickness). Rendering is
+    client-side SVG; this returns geometry + the same hover fields.
+    """
+    from octseg.core.registry import CLASS_COLORS_RGB
+
+    classes = classes or list(CLASS_IDS)
+    mask_paths = sorted(glob(f"{data['work_dir']}/mask/*.tiff"))
+    out: Dict[str, Any] = {'width': 0, 'height': 0, 'objects': []}
+    if img_num < 0 or img_num >= len(mask_paths):
+        return out
+    mask = read_tiff(mask_paths[img_num])
+    if mask.ndim == 2:
+        mask = mask[:, :, None]
+    out['height'], out['width'] = mask.shape[:2]
+    for class_name in classes:
+        class_id = CLASS_IDS.get(class_name)
+        if class_id is None or class_id - 1 >= mask.shape[2]:
+            continue
+        channel = mask[:, :, class_id - 1]
+        if not np.any(channel):
+            continue
+        # hover fields for this frame from the analysis traces
+        obj = data['objects'][class_name]
+        area = thickness_mean = thickness_min = 0.0
+        if img_num in obj['slice']:
+            pos = obj['slice'].index(img_num)
+            area = obj['area'][pos]
+            thickness_mean = obj['thickness_mean'][pos]
+            thickness_min = obj['thickness_min'][pos]
+        contours, _ = cv2.findContours(
+            channel, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+        )
+        polygons = []
+        for contour in contours:
+            approx = cv2.approxPolyDP(contour, 0.7, True).reshape(-1, 2)
+            if approx.shape[0] >= 3:
+                polygons.append(approx.tolist())
+        if polygons:
+            out['objects'].append({
+                'class': class_name,
+                'color': list(CLASS_COLORS_RGB[class_name]),
+                'area': round(float(area), 2),
+                'thickness_mean': round(float(thickness_mean), 2),
+                'thickness_min': round(float(thickness_min), 2),
+                'polygons': polygons,
+            })
+    return out
+
+
 def get_analysis(
     file: Optional[str],
     inference_type: str = 'demo',

@@ -5,9 +5,16 @@ src/app/app.py:9-186, served on 0.0.0.0:7883): DICOM upload or demo mode →
 object presence map, per-frame viewer with slider / class checkboxes /
 opacity, area trace plot, per-instance area boxplots, metadata JSON. gradio
 and plotly are not available in this environment, so the UI is a single HTML
-page with a small JS controller hitting PNG/JSON endpoints
-(octseg.analyze.figures renders the plots). Unlike the reference, inference
-mode actually works (the reference left it a stub — app.py:138,166).
+page with a small JS controller; analytics plots are server-rendered PNGs
+(octseg.analyze.figures) while the frame viewer is fully client-side: per-
+object contour polygons arrive as JSON (/contours.json) and are rendered as
+an SVG overlay with hover tooltips (class, area, mean/min thickness) and an
+opacity slider that needs no server round trip — the same interaction model
+as the reference's plotly viewer (src/app/tools/img_viewer.py:13-97).
+
+Beyond the reference: inference mode actually works (the reference left it a
+stub — app.py:138,166), and each analysis gets its own session id + work dir
+so concurrent users don't clobber each other.
 
 Usage: python -m octseg.analyze.app [key=value ...]   (configs/app.yaml)
 """
@@ -19,12 +26,14 @@ import logging
 import os
 import tempfile
 import threading
+import uuid
+from glob import glob
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 from urllib.parse import parse_qs, urlparse
 
 from octseg.analyze import figures
-from octseg.analyze.analysis import get_analysis
+from octseg.analyze.analysis import frame_contours, get_analysis
 from octseg.core.config import Config, entry_point
 from octseg.core.registry import CLASS_IDS
 
@@ -37,6 +46,11 @@ _PAGE = """<!DOCTYPE html>
  .row{margin:12px 0} img{max-width:100%;border:1px solid #ddd;background:#fff}
  button{padding:8px 16px} label{margin-right:12px}
  #controls{display:none}
+ #viewer{position:relative;display:inline-block}
+ #overlay{position:absolute;left:0;top:0;pointer-events:none}
+ #overlay polygon{pointer-events:auto;stroke-width:1.5}
+ #tooltip{position:fixed;display:none;background:rgba(20,20,20,.85);color:#fff;
+   padding:6px 10px;border-radius:4px;font-size:13px;pointer-events:none;z-index:10}
 </style></head>
 <body>
 <h2>KCC OCT analysis</h2>
@@ -51,17 +65,21 @@ _PAGE = """<!DOCTYPE html>
   <div class="row">
     <label>Frame: <input type="range" id="frame" min="0" max="0" value="0"
       oninput="updateFrame()"> <span id="frameno">0</span></label>
-    <label>Opacity %: <input type="range" id="opacity" min="0" max="100" value="20"
-      oninput="updateFrame()"></label>
+    <label>Opacity %: <input type="range" id="opacity" min="0" max="100" value="30"
+      oninput="applyOpacity()"></label>
     <span id="classes"></span>
   </div>
-  <div class="row"><img id="frameimg"></div>
+  <div class="row"><div id="viewer">
+    <img id="frameimg" onload="sizeOverlay()">
+    <svg id="overlay"></svg>
+  </div></div>
+  <div id="tooltip"></div>
   <div class="row"><img id="trace_area"></div>
   <div class="row"><img id="plot_area"></div>
   <div class="row"><details><summary>Metadata</summary><pre id="meta"></pre></details></div>
 </div>
 <script>
-let CLASSES = [];
+let CLASSES = [], SID = '', CONTOURS = null;
 function qsClasses(){
   return CLASSES.filter(c=>document.getElementById('cls_'+c).checked).join(',');
 }
@@ -76,7 +94,7 @@ async function analyze(mode){
   const r = await fetch('/analyze?mode='+mode, opts);
   if(!r.ok){document.getElementById('status').textContent='Error: '+await r.text();return;}
   const info = await r.json();
-  CLASSES = info.classes;
+  CLASSES = info.classes; SID = info.sid;
   const cl = document.getElementById('classes');
   cl.innerHTML = CLASSES.map(c=>
     `<label><input type="checkbox" id="cls_${c}" checked onchange="updateAll()">${c}</label>`
@@ -84,34 +102,99 @@ async function analyze(mode){
   document.getElementById('frame').max = info.n_frames-1;
   document.getElementById('controls').style.display='block';
   document.getElementById('status').textContent = info.n_frames+' frames';
-  document.getElementById('object_map').src = '/object_map.png?'+Date.now();
-  const meta = await (await fetch('/metadata.json')).json();
+  document.getElementById('object_map').src = '/object_map.png?sid='+SID+'&t='+Date.now();
+  const meta = await (await fetch('/metadata.json?sid='+SID)).json();
   document.getElementById('meta').textContent = JSON.stringify(meta, null, 1).slice(0, 20000);
   updateAll();
 }
 function updateAll(){
   const c = qsClasses();
-  document.getElementById('trace_area').src = '/trace_area.png?classes='+c+'&t='+Date.now();
-  document.getElementById('plot_area').src = '/plot_area.png?classes='+c+'&t='+Date.now();
+  document.getElementById('trace_area').src = '/trace_area.png?sid='+SID+'&classes='+c+'&t='+Date.now();
+  document.getElementById('plot_area').src = '/plot_area.png?sid='+SID+'&classes='+c+'&t='+Date.now();
   updateFrame();
 }
-function updateFrame(){
+async function updateFrame(){
   const n = document.getElementById('frame').value;
   document.getElementById('frameno').textContent = n;
-  const o = document.getElementById('opacity').value;
-  document.getElementById('frameimg').src =
-    '/frame.png?num='+n+'&classes='+qsClasses()+'&opacity='+o+'&t='+Date.now();
+  document.getElementById('frameimg').src = '/base_frame.png?sid='+SID+'&num='+n;
+  CONTOURS = await (await fetch('/contours.json?sid='+SID+'&num='+n)).json();
+  renderOverlay();
 }
+function renderOverlay(){
+  const svg = document.getElementById('overlay');
+  if(!CONTOURS){svg.innerHTML='';return;}
+  const on = new Set(qsClasses().split(','));
+  svg.setAttribute('viewBox', '0 0 '+CONTOURS.width+' '+CONTOURS.height);
+  svg.setAttribute('preserveAspectRatio', 'none');
+  let parts = [];
+  for(const o of CONTOURS.objects){
+    if(!on.has(o.class)) continue;
+    const rgb = 'rgb('+o.color.join(',')+')';
+    const tip = `${o.class} — area: ${o.area}, thickness mean: ${o.thickness_mean}, min: ${o.thickness_min}`;
+    for(const poly of o.polygons){
+      const pts = poly.map(p=>p[0]+','+p[1]).join(' ');
+      parts.push(`<polygon points="${pts}" fill="${rgb}" stroke="${rgb}" data-tip="${tip}"></polygon>`);
+    }
+  }
+  svg.innerHTML = parts.join('');
+  applyOpacity();
+  sizeOverlay();
+  for(const p of svg.querySelectorAll('polygon')){
+    p.addEventListener('mousemove', e=>{
+      const t = document.getElementById('tooltip');
+      t.style.display='block';
+      t.style.left=(e.clientX+14)+'px'; t.style.top=(e.clientY+14)+'px';
+      t.textContent = p.dataset.tip;
+    });
+    p.addEventListener('mouseleave', ()=>{
+      document.getElementById('tooltip').style.display='none';
+    });
+  }
+}
+function applyOpacity(){
+  const o = document.getElementById('opacity').value/100;
+  for(const p of document.querySelectorAll('#overlay polygon'))
+    p.setAttribute('fill-opacity', o);
+}
+function sizeOverlay(){
+  const img = document.getElementById('frameimg');
+  const svg = document.getElementById('overlay');
+  svg.style.width = img.clientWidth+'px';
+  svg.style.height = img.clientHeight+'px';
+}
+window.addEventListener('resize', sizeOverlay);
 </script>
 </body></html>
 """
 
 
 class AppState:
+    """Per-session analyses: each /analyze POST gets a session id; viewers
+    address their session explicitly (the reference keeps one work_dir per
+    upload, get_analysis; round-1 octseg kept ONE global — fixed here)."""
+
     def __init__(self, cfg: Config):
         self.cfg = cfg
-        self.data: Optional[Dict] = None
+        self.sessions: Dict[str, Dict] = {}
+        self.latest: Optional[str] = None
         self.lock = threading.Lock()
+        self.max_sessions = int(cfg.get('max_sessions', 8))
+
+    def put(self, data: Dict) -> str:
+        sid = uuid.uuid4().hex[:12]
+        with self.lock:
+            self.sessions[sid] = data
+            self.latest = sid
+            while len(self.sessions) > self.max_sessions:
+                oldest = next(iter(self.sessions))
+                if oldest == sid:
+                    break
+                del self.sessions[oldest]
+        return sid
+
+    def get(self, sid: Optional[str]) -> Optional[Dict]:
+        with self.lock:
+            return self.sessions.get(sid or self.latest or '')
 
 
 def make_handler(state: AppState):
@@ -129,9 +212,9 @@ def make_handler(state: AppState):
         def do_GET(self):
             url = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
-            data = state.data
             if url.path == '/':
                 return self._send(_PAGE.encode())
+            data = state.get(q.get('sid'))
             if data is None:
                 return self._send(b'Run analysis first', 'text/plain', 400)
             classes = [c for c in q.get('classes', '').split(',') if c] or list(CLASS_IDS)
@@ -141,7 +224,17 @@ def make_handler(state: AppState):
                 return self._send(figures.get_trace_area(classes, data), 'image/png')
             if url.path == '/plot_area.png':
                 return self._send(figures.get_plot_area(classes, data), 'image/png')
-            if url.path == '/frame.png':
+            if url.path == '/contours.json':
+                payload = frame_contours(data, int(q.get('num', 0)))
+                return self._send(json.dumps(payload).encode(), 'application/json')
+            if url.path == '/base_frame.png':
+                imgs = sorted(glob(os.path.join(data['work_dir'], 'img', '*.png')))
+                num = int(q.get('num', 0))
+                if not imgs or num < 0 or num >= len(imgs):
+                    return self._send(b'no such frame', 'text/plain', 404)
+                with open(imgs[num], 'rb') as f:
+                    return self._send(f.read(), 'image/png')
+            if url.path == '/frame.png':  # server-rendered fallback viewer
                 png = figures.get_img_show(
                     data,
                     img_dir=os.path.join(data['work_dir'], 'img'),
@@ -166,6 +259,7 @@ def make_handler(state: AppState):
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
             mode = q.get('mode', 'demo')
             try:
+                # analyses are serialized (one device); results are per-session
                 with state.lock:
                     if mode == 'demo':
                         data = get_analysis(
@@ -182,8 +276,9 @@ def make_handler(state: AppState):
                             models_dir=state.cfg.get('models_dir', 'models'),
                             temp_root=state.cfg.get('temp_dir', 'data/app/temp'),
                         )
-                    state.data = data
-                info = {'n_frames': len(data['images']), 'classes': list(CLASS_IDS)}
+                sid = state.put(data)
+                info = {'n_frames': len(data['images']),
+                        'classes': list(CLASS_IDS), 'sid': sid}
                 return self._send(json.dumps(info).encode(), 'application/json')
             except Exception as e:  # surface errors to the UI
                 log.exception('analysis failed')

@@ -116,15 +116,22 @@ def parse_overrides(argv: List[str]) -> Dict[str, Any]:
             value = yaml.safe_load(raw)
         except yaml.YAMLError:
             value = raw
-        if isinstance(value, str):
-            # YAML 1.1 reads '1e-5' as a string (no dot before the exponent);
-            # users write lr=1e-5 constantly, so coerce numeric-looking strings
-            try:
-                value = float(value)
-            except ValueError:
-                pass
-        out[key] = value
+        out[key] = _coerce_numbers(value)
     return out
+
+
+def _coerce_numbers(value: Any) -> Any:
+    """YAML 1.1 reads '1e-5' as a string (no dot before the exponent); users
+    write lr=1e-5 and learning_rate=[1e-3,1e-4] constantly, so coerce
+    numeric-looking strings — recursively through lists."""
+    if isinstance(value, list):
+        return [_coerce_numbers(v) for v in value]
+    if isinstance(value, str):
+        try:
+            return float(value)
+        except ValueError:
+            return value
+    return value
 
 
 def load_config(

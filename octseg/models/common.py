@@ -40,18 +40,24 @@ class ConvBNAct(nn.Module):
     act: Optional[str] = 'relu'
     use_bn: bool = True
     use_bias: bool = False
+    # 'torch': symmetric pad = dilation*(k-1)//2 per side (torchvision/timm
+    # semantics); 'SAME': XLA SAME (TF asymmetric — what efficientnet-pytorch's
+    # Conv2dStaticSamePadding does). Both are identical for stride-1 odd
+    # kernels; the choice pins stride-2 window alignment so converted torch
+    # checkpoints (octseg.models.convert_torch) are numerically exact.
+    padding: str = 'torch'
+    bn_eps: float = 1e-5  # efficientnet-pytorch uses 1e-3
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        # Torch-style symmetric padding (pad = dilation*(k-1)//2 per side).
-        # Identical to SAME for stride-1 odd kernels; for stride-2 convs it
-        # pins the window alignment to torch semantics, which makes converted
-        # torch checkpoints (octseg.models.convert_torch) numerically exact.
-        padding = tuple(
-            (d * (k - 1) // 2, d * (k - 1) // 2)
-            for k, d in zip(self.kernel_size, self.dilation)
-        )
+        if self.padding == 'torch':
+            padding = tuple(
+                (d * (k - 1) // 2, d * (k - 1) // 2)
+                for k, d in zip(self.kernel_size, self.dilation)
+            )
+        else:
+            padding = self.padding
         x = nn.Conv(
             self.features,
             self.kernel_size,
@@ -66,7 +72,7 @@ class ConvBNAct(nn.Module):
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
-                epsilon=1e-5,
+                epsilon=self.bn_eps,
                 dtype=self.dtype,
             )(x)
         return get_activation(self.act)(x)

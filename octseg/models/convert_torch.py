@@ -10,18 +10,22 @@ built op-isomorphic to SMP for the supported pairs, so converted checkpoints
 are numerically exact (verified to ~1e-4 fp32 in tests/test_convert_torch.py
 against torch forward passes).
 
-Supported today:
+Supported:
 - encoders: resnet18/34/50/101/152 (torchvision naming: ``conv1``, ``bn1``,
-  ``layer{1..4}.{b}.conv{i}/bn{i}/downsample``),
+  ``layer{1..4}.{b}.conv{i}/bn{i}/downsample``); timm-regnetx_002/064 and
+  timm-regnety_120 (timm naming: ``stem.conv/bn``,
+  ``s{1..4}.b{n}.conv{1,2,3}.{conv,bn}`` + ``se.fc{1,2}`` + ``downsample``);
+  efficientnet-b0..b7 (efficientnet-pytorch naming — the package smp wraps:
+  ``_conv_stem/_bn0``, flat ``_blocks.{i}._expand_conv/_depthwise_conv/
+  _se_reduce/_se_expand/_project_conv`` with TF-SAME padding and BN eps 1e-3,
+  both preserved by octseg's EfficientNetEncoder),
 - decoders: Unet (``decoder.blocks.{i}.conv{1,2}.{0,1}``), UnetPlusPlus
   (``decoder.blocks.x_{d}_{l}.conv{1,2}.{0,1}``), Linknet
   (``decoder.blocks.{i}.block.{0,2}.{0,1}`` + TransposeX2 ``block.1``),
 - segmentation head (``segmentation_head.0``).
 
-Documented but not yet wired (shapes differ from our TPU-first designs):
-- timm-regnetx/regnety (``s{1..4}.b{n}.conv1/conv2/conv3/se`` timm naming),
-- efficientnet-b0/5/7 (``blocks.{s}.{b}.conv_dw/se/conv_pwl`` timm naming).
-Passing one raises NotImplementedError naming the family.
+Together these cover all three winning reference model dirs (LM: U-Net++/
+resnet101, FC_LC: LinkNet/efficientnet-b7, VV: U-Net/timm-regnetx_064).
 
 Layout conventions:
 - torch Conv2d weight OIHW  -> flax kernel HWIO (transpose 2,3,1,0),
@@ -111,20 +115,66 @@ def _convert_encoder_family(b: _Builder, prefix: str, encoder_name: str,
     if encoder_name in _RESNET_LAYERS:
         _convert_resnet(b, prefix, encoder_name, scope)
     elif encoder_name.startswith(('timm-regnet', 'regnet')):
-        raise NotImplementedError(
-            'regnet conversion: timm naming is s{1..4}.b{n}.conv1/conv2/conv3 '
-            '(+ se for regnety); octseg RegNetEncoder block layout must be '
-            'aligned first — not wired yet'
-        )
+        _convert_regnet(b, prefix, encoder_name, scope)
     elif 'efficientnet' in encoder_name:
-        raise NotImplementedError(
-            'efficientnet conversion: timm naming is conv_stem/bn1 + '
-            'blocks.{s}.{b}.(conv_dw|se|conv_pw|conv_pwl); octseg '
-            'EfficientNetEncoder block layout must be aligned first — not '
-            'wired yet'
-        )
+        _convert_efficientnet(b, prefix, encoder_name, scope)
     else:
         raise NotImplementedError(f'no converter for encoder {encoder_name!r}')
+
+
+def _convert_regnet(b: _Builder, prefix: str, variant: str, scope: str) -> None:
+    """timm RegNet naming: stem.conv/stem.bn, s{k}.b{j}.conv{1,2,3}.{conv,bn},
+    optional .se.fc{1,2} (regnety), .downsample.{conv,bn}."""
+    from octseg.models.encoders.regnet import _CONFIGS
+
+    if variant not in _CONFIGS:
+        raise NotImplementedError(f'unknown regnet variant {variant!r}')
+    cfg = _CONFIGS[variant]
+    b.conv_bn(f'{prefix}stem.conv', f'{prefix}stem.bn', f'{scope}/ConvBNAct_0')
+    n = 0
+    for stage, depth in enumerate(cfg['depths'], start=1):
+        for blk in range(1, depth + 1):
+            t = f'{prefix}s{stage}.b{blk}'
+            f = f'{scope}/RegNetBlock_{n}'
+            b.conv_bn(f'{t}.conv1.conv', f'{t}.conv1.bn', f'{f}/ConvBNAct_0')
+            b.conv_bn(f'{t}.conv2.conv', f'{t}.conv2.bn', f'{f}/ConvBNAct_1')
+            if cfg['se']:
+                b.conv(f'{t}.se.fc1', f'{f}/SqueezeExcite_0/Conv_0')
+                b.conv(f'{t}.se.fc2', f'{f}/SqueezeExcite_0/Conv_1')
+            b.conv_bn(f'{t}.conv3.conv', f'{t}.conv3.bn', f'{f}/ConvBNAct_2')
+            if f'{t}.downsample.conv.weight' in b.sd:
+                b.conv_bn(f'{t}.downsample.conv', f'{t}.downsample.bn',
+                          f'{f}/ConvBNAct_3')
+            n += 1
+    for key in ('head.fc.weight', 'head.fc.bias'):  # classification head
+        b.consumed.add(prefix + key)
+
+
+def _convert_efficientnet(b: _Builder, prefix: str, variant: str,
+                          scope: str) -> None:
+    """efficientnet-pytorch naming (the package smp wraps for
+    'efficientnet-bX'): _conv_stem/_bn0, then flat _blocks.{i} with
+    _expand_conv/_bn0, _depthwise_conv/_bn1, _se_reduce, _se_expand,
+    _project_conv/_bn2; model-level _conv_head/_bn1/_fc are dropped."""
+    from octseg.models.encoders.efficientnet import flattened_blocks
+
+    b.conv_bn(f'{prefix}_conv_stem', f'{prefix}_bn0', f'{scope}/ConvBNAct_0')
+    for i, blk in enumerate(flattened_blocks(variant)):
+        t = f'{prefix}_blocks.{i}'
+        f = f'{scope}/MBConv_{i}'
+        idx = 0
+        if blk['expand'] != 1:
+            b.conv_bn(f'{t}._expand_conv', f'{t}._bn0', f'{f}/ConvBNAct_0')
+            idx = 1
+        b.conv_bn(f'{t}._depthwise_conv', f'{t}._bn1', f'{f}/ConvBNAct_{idx}')
+        b.conv(f'{t}._se_reduce', f'{f}/SqueezeExcite_0/Conv_0')
+        b.conv(f'{t}._se_expand', f'{f}/SqueezeExcite_0/Conv_1')
+        b.conv_bn(f'{t}._project_conv', f'{t}._bn2', f'{f}/ConvBNAct_{idx + 1}')
+    # encoder-irrelevant tail of the classification net
+    for key in ('_conv_head.weight', '_bn1.weight', '_bn1.bias',
+                '_bn1.running_mean', '_bn1.running_var',
+                '_bn1.num_batches_tracked', '_fc.weight', '_fc.bias'):
+        b.consumed.add(prefix + key)
 
 
 def _convert_resnet(b: _Builder, prefix: str, variant: str, scope: str) -> None:

@@ -17,6 +17,11 @@ from flax import linen as nn
 
 from octseg.models.common import ConvBNAct, SqueezeExcite
 
+# efficientnet-pytorch (the package smp wraps for 'efficientnet-bX') uses
+# TF-style SAME padding and batch_norm_epsilon=1e-3; both are kept so torch
+# checkpoints convert numerically exactly (octseg.models.convert_torch).
+BN_EPS = 1e-3
+
 # (expand_ratio, kernel, stride, out_channels, repeats) — base (B0) stages
 _BASE_STAGES = [
     (1, 3, 1, 16, 1),
@@ -52,6 +57,26 @@ def _round_repeats(r: int, depth_mult: float) -> int:
     return int(math.ceil(depth_mult * r))
 
 
+def flattened_blocks(name: str):
+    """Per-block args in the flat order efficientnet-pytorch uses for
+    ``_blocks.{i}`` (and the order MBConv modules are created here):
+    [{'expand', 'kernel', 'stride', 'out'}]. Used by the weight converter."""
+    width_mult, depth_mult = _SCALING[name]
+    out = []
+    for stage, (expand, kernel, stride, out_c, repeats) in enumerate(_BASE_STAGES):
+        out_c = _round_channels(out_c, width_mult)
+        repeats = _round_repeats(repeats, depth_mult)
+        for block_idx in range(repeats):
+            out.append({
+                'stage': stage,
+                'expand': expand,
+                'kernel': kernel,
+                'stride': stride if block_idx == 0 else 1,
+                'out': out_c,
+            })
+    return out
+
+
 def efficientnet_out_channels(name: str) -> Sequence[int]:
     width_mult, _ = _SCALING[name]
     stem = _round_channels(32, width_mult)
@@ -76,7 +101,8 @@ class MBConv(nn.Module):
         y = x
         expanded = in_features * self.expand_ratio
         if self.expand_ratio != 1:
-            y = ConvBNAct(expanded, (1, 1), act='swish', dtype=self.dtype)(y, train)
+            y = ConvBNAct(expanded, (1, 1), act='swish', padding='SAME',
+                          bn_eps=BN_EPS, dtype=self.dtype)(y, train)
         y = ConvBNAct(
             expanded,
             (self.kernel, self.kernel),
@@ -84,12 +110,15 @@ class MBConv(nn.Module):
             self.dilation,
             groups=expanded,
             act='swish',
+            padding='SAME',
+            bn_eps=BN_EPS,
             dtype=self.dtype,
         )(y, train)
         y = SqueezeExcite(
             max(1, int(in_features * self.se_ratio)), act='swish', dtype=self.dtype
         )(y)
-        y = ConvBNAct(self.out_features, (1, 1), act=None, dtype=self.dtype)(y, train)
+        y = ConvBNAct(self.out_features, (1, 1), act=None, padding='SAME',
+                      bn_eps=BN_EPS, dtype=self.dtype)(y, train)
         if self.strides == (1, 1) and in_features == self.out_features:
             y = y + x
         return y
@@ -105,7 +134,8 @@ class EfficientNetEncoder(nn.Module):
         width_mult, depth_mult = _SCALING[self.variant]
         features = [x]
         stem = _round_channels(32, width_mult)
-        y = ConvBNAct(stem, (3, 3), (2, 2), act='swish', dtype=self.dtype)(x, train)  # 1/2
+        y = ConvBNAct(stem, (3, 3), (2, 2), act='swish', padding='SAME',
+                      bn_eps=BN_EPS, dtype=self.dtype)(x, train)  # 1/2
         features.append(y)
 
         current_stride = 2

@@ -19,11 +19,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, axis_name: str = 'data') -> Mesh:
-    """1-D mesh over the first n (default: all) local devices."""
-    devices = jax.devices()
-    if n_devices is not None:
-        devices = devices[:n_devices]
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = 'data',
+              devices: Optional[list] = None) -> Mesh:
+    """1-D mesh over the given devices (default: first n of all local ones).
+
+    ``devices`` lets callers build disjoint submeshes — the concurrent tuner
+    runs one trial per device group (octseg.tune.tune).
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            if n_devices > len(devices):
+                raise ValueError(
+                    f'need {n_devices} devices, have {len(devices)}'
+                )
+            devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
 
 

@@ -149,12 +149,15 @@ def train_model(
     cfg: Config,
     model_dir: Optional[str] = None,
     on_epoch_end=None,
+    devices=None,
 ) -> dict:
     """Run one training; returns summary dict (best metrics). Reusable by the
     tuner and the 5-fold driver.
 
     on_epoch_end(epoch, val_summary: dict) -> bool — optional callback; return
     True to stop early (the tuner's HyperBand hook).
+    devices — optional explicit device list (a submesh); the concurrent tuner
+    passes disjoint groups so k trials train simultaneously.
     """
     classes = list(cfg.classes)
     model_name = cfg.get('model_name') or f"{cfg.architecture}_{cfg.encoder}"
@@ -167,9 +170,10 @@ def train_model(
     )
     val_set = OCTDataset(os.path.join(cfg.data_dir, 'test'), classes, cfg.input_size)
 
-    n_mesh = pick_mesh_size(cfg.batch_size, jax.device_count())
-    mesh = make_mesh(n_mesh)
-    log.info('Training on a %d-device mesh (%s)', n_mesh, jax.devices()[0].platform)
+    device_pool = list(devices) if devices is not None else jax.devices()
+    n_mesh = pick_mesh_size(cfg.batch_size, len(device_pool))
+    mesh = make_mesh(devices=device_pool[:n_mesh])
+    log.info('Training on a %d-device mesh (%s)', n_mesh, device_pool[0].platform)
     data_shard = batch_sharding(mesh)
     repl = replicated_sharding(mesh)
 

@@ -12,6 +12,7 @@ The search space mirrors configs/tune.yaml: 9 architectures x 9 encoders x
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, Sequence
 
 import numpy as np
@@ -115,7 +116,20 @@ class BayesianSearch:
 class HyperBand:
     """Rung-based early termination (W&B hyperband semantics: eta=2, rungs at
     min_iter * eta^k; a run is killed at a rung if it is not in the top 1/eta
-    of historical metric values recorded at that rung)."""
+    of metric values recorded at that rung).
+
+    One instance serves a whole sweep — the rung history accumulates across
+    trials (octseg.tune.tune creates it once; should_stop is thread-safe for
+    concurrent trials).
+
+    Documented deviation from W&B's server-side scheduler (VERDICT r1 §5):
+    the quantile threshold here includes the current run's own value, and no
+    decision is made until a rung holds >= eta entries. For small sweeps this
+    is slightly more permissive early on (the first eta-1 runs always
+    survive a rung); asymptotically the kill rate matches W&B's top-1/eta
+    rule. W&B also recomputes thresholds retroactively against *running*
+    trials; we only compare against values already recorded at the rung.
+    """
 
     def __init__(self, min_iter: int = 25, eta: int = 2, max_iter: int = 50, s: int = 2):
         self.eta = eta
@@ -127,13 +141,15 @@ class HyperBand:
             self.rungs.append(r)
             r *= eta
         self.history: Dict[int, List[float]] = {r: [] for r in self.rungs}
+        self._lock = threading.Lock()
 
     def should_stop(self, epoch: int, metric: float) -> bool:
         if epoch not in self.history:
             return False
-        rung = self.history[epoch]
-        rung.append(metric)
-        if len(rung) < self.eta:
-            return False
-        threshold = np.quantile(rung, 1.0 - 1.0 / self.eta)
+        with self._lock:
+            rung = self.history[epoch]
+            rung.append(metric)
+            if len(rung) < self.eta:
+                return False
+            threshold = np.quantile(rung, 1.0 - 1.0 / self.eta)
         return metric < threshold

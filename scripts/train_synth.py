@@ -1,0 +1,100 @@
+"""Train the reference's three winning configs on synthetic data and score DSC.
+
+The real 103-patient dataset is unreachable (DVC pointers to Google Drive,
+zero egress), so the reference's hybrid-ensemble training recipe
+(eval/training/{class}/fold_1/config.json: U-Net++/resnet101 for Lumen,
+LinkNet/efficientnet-b7 for FC+LC, U-Net/timm-regnetx_064 for Vasa vasorum)
+is exercised end-to-end on procedurally generated OCT-like frames with exact
+ground truth (octseg.data.synth), at reduced input size.  Results land in
+eval/synth/: per-model metrics.csv, weights.ckpt, and eval_{split}.json from
+the DSC-parity harness (octseg.train.evaluate).
+
+Usage: python scripts/train_synth.py [--size 256] [--train 120] [--test 40]
+           [--epochs 25] [--out eval/synth] [--bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+WINNING_CONFIGS = [
+    # (model dir name, classes, architecture, encoder, optimizer, lr)
+    ('LM', ['Lumen'], 'UnetPlusPlus', 'resnet101', 'RMSprop', 1e-4),
+    ('FC_LC', ['Lipid core', 'Fibrous cap'], 'LinkNet', 'efficientnet-b7',
+     'RMSprop', 1e-4),
+    ('VV', ['Vasa vasorum'], 'Unet', 'timm-regnetx_064', 'RAdam', 1e-3),
+]
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--size', type=int, default=256)
+    parser.add_argument('--train', type=int, default=120)
+    parser.add_argument('--test', type=int, default=40)
+    parser.add_argument('--epochs', type=int, default=25)
+    parser.add_argument('--batch-size', type=int, default=16)
+    parser.add_argument('--out', default='eval/synth')
+    parser.add_argument('--data', default=None,
+                        help='reuse an existing synthetic fold dir')
+    parser.add_argument('--bf16', action='store_true')
+    parser.add_argument('--augment', action='store_true')
+    args = parser.parse_args()
+
+    from octseg.core.config import Config
+    from octseg.data.synth import make_synth_fold
+    from octseg.train.evaluate import evaluate_model
+    from octseg.train.train import train_model
+
+    fold = args.data or os.path.join(args.out, 'fold')
+    if not os.path.isdir(os.path.join(fold, 'train')):
+        print(f'generating synthetic fold under {fold} ...', flush=True)
+        make_synth_fold(fold, args.train, args.test, size=args.size, seed=11)
+
+    summary_all = {}
+    for name, classes, arch, encoder, optimizer, lr in WINNING_CONFIGS:
+        model_dir = os.path.join(args.out, name)
+        cfg = Config({
+            'data_dir': fold,
+            'classes': classes,
+            'architecture': arch,
+            'encoder': encoder,
+            'input_size': args.size,
+            'batch_size': args.batch_size,
+            'optimizer': optimizer,
+            'lr': lr,
+            'epochs': args.epochs,
+            'use_augmentation': bool(args.augment),
+            'bf16': bool(args.bf16),
+            'native_loader': False,
+            'seed': 11,
+            'model_name': name,
+            'save_dir': args.out,
+        })
+        t0 = time.time()
+        print(f'=== {name}: {arch}/{encoder} @{args.size} ===', flush=True)
+        train_model(cfg, model_dir=model_dir)
+        elapsed = time.time() - t0
+        scores = {}
+        for split in ('train', 'test'):
+            r = evaluate_model(model_dir, fold, split=split)
+            scores[split] = r
+            with open(os.path.join(model_dir, f'eval_{split}.json'), 'w') as f:
+                json.dump(r, f, indent=2)
+        summary_all[name] = {
+            'architecture': arch, 'encoder': encoder,
+            'train_dice': {c: round(scores['train'][c]['dice'], 4) for c in classes},
+            'test_dice': {c: round(scores['test'][c]['dice'], 4) for c in classes},
+            'train_seconds': round(elapsed, 1),
+        }
+        print(json.dumps(summary_all[name]), flush=True)
+
+    with open(os.path.join(args.out, 'summary.json'), 'w') as f:
+        json.dump(summary_all, f, indent=2)
+    print('ALL DONE:', json.dumps(summary_all), flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,6 +1,7 @@
 import json
 import os
 import shutil
+import urllib.error
 import urllib.request
 
 import cv2
@@ -94,14 +95,52 @@ def test_app_server(demo_dir):
         req = urllib.request.Request(f'{base}/analyze?mode=demo', method='POST')
         info = json.loads(urllib.request.urlopen(req).read())
         assert info['n_frames'] == 8
-        png = urllib.request.urlopen(f'{base}/object_map.png').read()
+        sid = info['sid']
+        png = urllib.request.urlopen(f'{base}/object_map.png?sid={sid}').read()
         assert png[:4] == b'\x89PNG'
         frame = urllib.request.urlopen(
-            f'{base}/frame.png?num=0&opacity=30&classes=Lumen'
+            f'{base}/frame.png?num=0&opacity=30&classes=Lumen&sid={sid}'
         ).read()
         assert frame[:4] == b'\x89PNG'
-        meta = json.loads(urllib.request.urlopen(f'{base}/metadata.json').read())
+        meta = json.loads(
+            urllib.request.urlopen(f'{base}/metadata.json?sid={sid}').read()
+        )
         assert 'objects' in meta and 'ratio' in meta
+        # interactive-viewer endpoints: raw frame + contour JSON with the
+        # reference hover fields (img_viewer.py parity)
+        base_png = urllib.request.urlopen(
+            f'{base}/base_frame.png?sid={sid}&num=0'
+        ).read()
+        assert base_png[:4] == b'\x89PNG'
+        found_any = False
+        for num in range(info['n_frames']):
+            payload = json.loads(urllib.request.urlopen(
+                f'{base}/contours.json?sid={sid}&num={num}'
+            ).read())
+            assert payload['width'] > 0 and payload['height'] > 0
+            for obj in payload['objects']:
+                found_any = True
+                assert set(obj) >= {'class', 'color', 'area', 'thickness_mean',
+                                    'thickness_min', 'polygons'}
+                assert len(obj['color']) == 3
+                for poly in obj['polygons']:
+                    assert len(poly) >= 3
+                    xs = [p[0] for p in poly]
+                    ys = [p[1] for p in poly]
+                    assert 0 <= min(xs) and max(xs) < payload['width']
+                    assert 0 <= min(ys) and max(ys) < payload['height']
+        assert found_any, 'no contours in any demo frame'
+        # omitting sid falls back to the latest session
+        latest = json.loads(urllib.request.urlopen(
+            f'{base}/contours.json?num=0'
+        ).read())
+        assert latest['width'] == payload['width']
+        # unknown sid -> 400
+        try:
+            urllib.request.urlopen(f'{base}/contours.json?sid=nope&num=0')
+            assert False, 'expected 400'
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         server.shutdown()
 

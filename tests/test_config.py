@@ -47,6 +47,14 @@ def test_parse_overrides_typing():
         parse_overrides(['no_equals_sign'])
 
 
+def test_parse_overrides_coerces_scientific_notation_in_lists():
+    """learning_rate=[1e-3,1e-4] must arrive as floats, not strings — the
+    tuner CLI regression caught in r2 (every trial failed on a string lr)."""
+    out = parse_overrides(['learning_rate=[1e-3,1e-4]', 'mixed=[1e-2,x,3]'])
+    assert out['learning_rate'] == [1e-3, 1e-4]
+    assert out['mixed'] == [1e-2, 'x', 3]
+
+
 def test_config_to_yaml_roundtrip():
     import yaml
 

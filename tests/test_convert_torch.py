@@ -51,6 +51,9 @@ def _forward_pair(arch, encoder, classes=2, size=64, seed=0):
         ('Unet', 'resnet50'),
         ('UnetPlusPlus', 'resnet18'),
         ('Linknet', 'resnet18'),
+        ('Unet', 'timm-regnetx_002'),
+        ('Unet', 'efficientnet-b0'),
+        ('Linknet', 'efficientnet-b0'),
     ],
 )
 def test_forward_parity(arch, encoder):
@@ -58,6 +61,17 @@ def test_forward_parity(arch, encoder):
     assert got.shape == want.shape
     err = np.abs(got - want).max()
     assert err < 2e-3, f'{arch}/{encoder}: max abs err {err}'
+
+
+@pytest.mark.slow
+def test_winning_config_encoders_convert():
+    """The reference's other two winners: Unet/timm-regnetx_064 (VV) and
+    Linknet on a regnety (SE path). Tiny input keeps runtime bounded."""
+    for arch, encoder in (('Unet', 'timm-regnetx_064'),
+                          ('Unet', 'timm-regnety_120')):
+        want, got = _forward_pair(arch, encoder, classes=1, size=32)
+        err = np.abs(got - want).max()
+        assert err < 5e-3, f'{arch}/{encoder}: max abs err {err}'
 
 
 def test_flagship_unetpp_resnet101_converts():

@@ -130,3 +130,85 @@ def test_train_loop_end_to_end(fold_dir, tmp_path):
     assert summary2['epochs_done'] == 3
     df2 = pd.read_csv(model_dir / 'metrics.csv')
     assert df2['Epoch'].max() == 3
+    # the resumed run kept the earlier best: best_val_loss can only improve
+    assert summary2['best_val_loss'] <= summary['best_val_loss'] + 1e-9
+
+
+def test_multi_epoch_training_learns_on_full_mesh(fold_dir, tmp_path):
+    """5 epochs on the full 8-device mesh (batch 8 -> 1 frame/device):
+    training loss must decrease substantially — validates that the sharded
+    step + replicated optimizer actually learn, not just run (VERDICT r1 §7)."""
+    import jax
+    import pandas as pd
+
+    from octseg.train.train import pick_mesh_size, train_model
+
+    assert jax.device_count() == 8  # conftest guarantees; double-check here
+    assert pick_mesh_size(8, jax.device_count()) == 8
+
+    cfg = Config(
+        data_dir=fold_dir,
+        classes=['Lumen'],
+        architecture='Unet',
+        encoder='resnet18',
+        optimizer='Adam',
+        lr=1e-3,
+        weight_decay=0.0,
+        input_size=64,
+        batch_size=8,
+        epochs=5,
+        use_augmentation=False,
+        save_dir=str(tmp_path / 'models'),
+        model_name='mesh_learn',
+        seed=11,
+        native_loader=False,
+    )
+    train_model(cfg)
+    df = pd.read_csv(tmp_path / 'models' / 'mesh_learn' / 'metrics.csv')
+    losses = (
+        df[(df['Split'] == 'train') & (df['Class'] == 'Mean')]
+        .sort_values('Epoch')['Loss']
+        .to_numpy()
+    )
+    assert len(losses) == 5
+    assert losses[-1] < losses[0] * 0.8, f'train loss did not decrease: {losses}'
+
+
+def test_folds_driver_on_mesh(tmp_path):
+    """5-fold driver smoke (2 folds, 1 epoch) on the mesh: per-fold model
+    dirs with the full contract + folds_summary.csv."""
+    import pandas as pd
+
+    from octseg.train.folds import train_folds
+
+    cv = tmp_path / 'cv'
+    rng = np.random.default_rng(7)
+    for k in (1, 2):
+        make_fold(str(cv / f'fold_{k}'), n_train=4, n_test=4, rng=rng)
+
+    cfg = Config(
+        cv_dir=str(cv),
+        folds=[1, 2],
+        classes=['Lumen'],
+        architecture='Unet',
+        encoder='resnet18',
+        optimizer='Adam',
+        lr=1e-3,
+        weight_decay=0.0,
+        input_size=64,
+        batch_size=4,
+        epochs=1,
+        use_augmentation=False,
+        save_dir=str(tmp_path / 'models'),
+        model_name='cvrun',
+        seed=11,
+        native_loader=False,
+    )
+    results = train_folds(cfg)
+    assert [r['fold'] for r in results] == [1, 2]
+    root = tmp_path / 'models' / 'cvrun'
+    for k in (1, 2):
+        assert (root / f'fold_{k}' / 'weights.ckpt').exists()
+        assert (root / f'fold_{k}' / 'metrics.csv').exists()
+    df = pd.read_csv(root / 'folds_summary.csv')
+    assert list(df['fold']) == [1, 2]
