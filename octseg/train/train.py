@@ -244,24 +244,33 @@ def train_model(
     summary = {}
     for epoch in range(start_epoch, int(cfg.epochs) + 1):
         t0 = time.time()
-        train_metrics = []
+        # Metrics stay ON DEVICE all epoch and are fetched once, stacked:
+        # a per-step host fetch costs a full relay/PCIe round trip AND blocks
+        # the dispatch pipeline (the host can't enqueue step N+1 until it has
+        # read step N) — on a tunneled chip that dominated the epoch (r2:
+        # 200 s/epoch of syncs vs ~15 s of compute).
+        device_metrics = []
         for step, (imgs, masks) in enumerate(train_loader):
             key = jax.random.fold_in(loop_rng, epoch * 100003 + step)
             imgs = jax.device_put(imgs, data_shard)
             masks = jax.device_put(masks, data_shard)
             state, metrics = train_step(state, imgs, masks, key)
-            train_metrics.append(jax.tree.map(np.asarray, metrics))
-            if cfg.get('check_finite', True) and not np.isfinite(
-                train_metrics[-1]['loss']
-            ):
-                raise FloatingPointError(
-                    f'Non-finite loss at epoch {epoch} step {step}'
-                )
+            device_metrics.append(metrics)
+        stacked = jax.device_get(
+            jax.tree.map(lambda *xs: jnp.stack(xs), *device_metrics)
+        )
+        if cfg.get('check_finite', True) and not np.all(np.isfinite(stacked['loss'])):
+            bad = int(np.argmax(~np.isfinite(stacked['loss'])))
+            raise FloatingPointError(f'Non-finite loss at epoch {epoch} step {bad}')
+        train_metrics = [
+            jax.tree.map(lambda a, i=i: a[i], stacked)
+            for i in range(len(device_metrics))
+        ]
         save_metrics_on_epoch(
             train_metrics, 'train', model_dir, classes, epoch, logger=scalar_logger
         )
 
-        val_metrics = []
+        val_device = []
         for imgs, masks in val_loader:
             n = imgs.shape[0]
             pad = (-n) % n_mesh
@@ -273,7 +282,10 @@ def train_model(
                 jax.device_put(imgs, data_shard),
                 jax.device_put(masks, data_shard),
             )
-            m = jax.tree.map(np.asarray, m)
+            val_device.append((m, n, pad))
+        val_metrics = []
+        for m, n, pad in val_device:  # fetch after the whole split is enqueued
+            m = jax.device_get(m)
             if pad:
                 m = {k: (v if v.ndim == 0 else v[:n]) for k, v in m.items()}
             val_metrics.append(m)

@@ -135,3 +135,39 @@ class TestAugment:
                              borderMode=cv2.BORDER_CONSTANT, borderValue=0)
         interior = np.s_[4:-4, 4:-4]
         np.testing.assert_allclose(ours[interior], ref[interior], atol=2e-2)
+
+
+def test_fused_pair_sampler_matches_separate_gathers(rng):
+    """_sample_pair_fused (one packed gather) must reproduce the 4-tap
+    bilinear + nearest samplers, including border behavior."""
+    import jax.numpy as jnp
+
+    from octseg.ops.warp import (
+        _sample_bilinear,
+        _sample_nearest,
+        _sample_pair_fused,
+    )
+
+    h = w = 24
+    img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    mask = (rng.random((h, w, 4)) > 0.5).astype(np.float32)
+    # coordinates spanning inside, half-outside, and fully-outside positions
+    xs = rng.uniform(-4, w + 4, (h, w)).astype(np.float32)
+    ys = rng.uniform(-4, h + 4, (h, w)).astype(np.float32)
+    # keep away from exact .5 fractions (tie-break convention differs)
+    xs = np.where(np.abs((xs % 1) - 0.5) < 1e-3, xs + 0.01, xs)
+    ys = np.where(np.abs((ys % 1) - 0.5) < 1e-3, ys + 0.01, ys)
+
+    want_img = np.asarray(_sample_bilinear(
+        jnp.asarray(img), jnp.asarray(xs), jnp.asarray(ys), 0.0,
+        tap_dtype=jnp.bfloat16,
+    ))
+    want_mask = np.asarray(_sample_nearest(
+        jnp.asarray(mask), jnp.asarray(xs), jnp.asarray(ys), 0.0
+    ))
+    got_img, got_mask = _sample_pair_fused(
+        jnp.asarray(img), jnp.asarray(mask), jnp.asarray(xs), jnp.asarray(ys)
+    )
+    # bf16 taps in both paths; combination order differs -> ~1 LSB tolerance
+    np.testing.assert_allclose(np.asarray(got_img), want_img, atol=2.0)
+    np.testing.assert_array_equal(np.asarray(got_mask), want_mask)
