@@ -153,10 +153,12 @@ def test_pretrained_encoder_merge():
 
 
 def test_unsupported_families_error_clearly():
-    with pytest.raises(NotImplementedError, match='regnet'):
+    # every reference encoder family now converts; anything else must fail
+    # with a clear message, and supported families must name the missing key
+    with pytest.raises(NotImplementedError, match='mobilenet'):
+        convert_checkpoint({}, 'Unet', 'mobilenet_v2')
+    with pytest.raises(KeyError, match='stem.conv.weight'):
         convert_checkpoint({}, 'Unet', 'timm-regnetx_064')
-    with pytest.raises(NotImplementedError, match='efficientnet'):
-        convert_checkpoint({}, 'Unet', 'efficientnet-b7')
 
 
 def test_load_torch_state_dict_formats(tmp_path):
