@@ -14,11 +14,17 @@ Policy (images float32 in [0,255], masks float32 {0,1}):
   5. Perspective               p=0.20  corner jitter scale U(0.05,0.1)
   6. RandomBrightnessContrast  p=0.15  ±0.15
   7. HueSaturationValue        p=0.15  h±15, s±20, v±15 (uint8 units)
+
+All geometric transforms compose into ONE homography + one rectangular
+validity mask, so the whole pipeline costs a single warp pass. Two samplers
+implement that warp: the gather-based one (octseg.ops.warp, the portable
+reference) and the gather-free Pallas two-pass kernel
+(octseg.ops.pallas.resample) that augment_batch uses on TPU — XLA's TPU
+gather costs ~30-60 ns/index, which made the warp ~70% of the train step.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -63,19 +69,16 @@ def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([r, g, b], axis=-1)
 
 
-def augment_pair(img: jnp.ndarray, mask: jnp.ndarray, key: jax.Array
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Augment one (H,W,3) image + (H,W,C) mask pair. Returns same shapes.
+def _geom_params(key: jax.Array, h: int, w: int):
+    """Draw the geometric policy: returns (m_pre, m_persp, rect, phot_keys).
 
-    All geometric transforms (flip, shift-scale-rotate, crop+pad,
-    perspective) are composed into ONE homography + one rectangular validity
-    mask, so the whole pipeline costs a single bilinear gather pass for the
-    image and a single nearest pass for the mask (gathers dominate TPU
-    augmentation cost). Gaussian noise is applied after the warp — for i.i.d.
-    noise this is distribution-equivalent to the reference's pre-perspective
-    placement.
+    m_pre maps crop-space coords to source coords (flip ∘ ssr ∘ crop);
+    m_persp maps output coords to crop-space; rect is the crop validity
+    rectangle [top, bottom, left, right] in crop-space. The composed
+    output->source homography is m_pre @ m_persp. phot_keys feed
+    _photometric. The key schedule is shared by both sampler paths so a
+    fixed key draws identical transforms on either.
     """
-    h, w, _ = img.shape
     keys = jax.random.split(key, 16)
     ident = jnp.eye(3)
 
@@ -123,36 +126,56 @@ def augment_pair(img: jnp.ndarray, mask: jnp.ndarray, key: jax.Array
     src_pts = corners + jnp.abs(jitter) * sign * jnp.array([w, h], jnp.float32)
     m_persp = jnp.where(do, perspective_from_corners(src_pts, corners), ident)
 
-    # --- one fused warp: out --P--> crop coords (validity) --T∘A∘F--> src ---
+    # crop coords -> source coords; highest precision: bf16-precision 3x3
+    # matmuls quantize the translation entries (up to the image size) by
+    # up to 2 px on TPU (see _apply_homography)
+    m_pre = jnp.matmul(
+        jnp.matmul(m_flip, m_ssr, precision='highest'), m_crop,
+        precision='highest',
+    )
+    phot_keys = (keys[11], keys[12], keys[13], pkeys[2])
+    return m_pre, m_persp, rect, phot_keys
+
+
+def _validity(m_persp: jnp.ndarray, rect: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(H, W, 1) {0,1} mask of output pixels whose crop-space position falls
+    inside the crop validity rectangle."""
     ys, xs = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
         indexing='ij',
     )
-    out_coords = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
-    c3 = out_coords @ m_persp.T
-    c3 = c3 / c3[..., 2:3]
+    cx, cy = _apply_homography(m_persp, xs, ys)
     inside = (
-        (c3[..., 1] >= rect[0] - 0.5) & (c3[..., 1] < rect[1] - 0.5)
-        & (c3[..., 0] >= rect[2] - 0.5) & (c3[..., 0] < rect[3] - 0.5)
+        (cy >= rect[0] - 0.5) & (cy < rect[1] - 0.5)
+        & (cx >= rect[2] - 0.5) & (cx < rect[3] - 0.5)
     )[..., None]
-    m_pre = m_flip @ m_ssr @ m_crop  # crop coords -> source coords
-    src = c3 @ m_pre.T
-    sx = src[..., 0] / src[..., 2]
-    sy = src[..., 1] / src[..., 2]
-    # one gather for both tensors (bilinear image taps + nearest mask tap
-    # packed as channels — see _sample_pair_fused)
-    img, mask = _sample_pair_fused(img, mask, sx, sy)
-    img = img * inside
-    mask = mask * inside
+    return inside.astype(jnp.float32)
+
+
+def _apply_homography(m: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray):
+    """Exact-f32 homogeneous transform of pixel coordinates.
+
+    Written elementwise on purpose: a ``coords @ m.T`` matmul runs at TPU
+    default (bfloat16) matmul precision, which quantizes coordinates >255 by
+    up to 2 px — measured as 21% flipped mask pixels at 512² (r2)."""
+    px = m[0, 0] * xs + m[0, 1] * ys + m[0, 2]
+    py = m[1, 0] * xs + m[1, 1] * ys + m[1, 2]
+    pw = m[2, 0] * xs + m[2, 1] * ys + m[2, 2]
+    return px / pw, py / pw
+
+
+def _photometric(img: jnp.ndarray, phot_keys) -> jnp.ndarray:
+    """Steps 4/6/7: gaussian noise, brightness/contrast, HSV shifts."""
+    k_do_noise, k_var, k_noise, bc_key = phot_keys
 
     # 4. gaussian noise on the image (post-warp; i.i.d. ⇒ same distribution)
-    do = jax.random.uniform(keys[11]) < 0.15
-    var = jax.random.uniform(keys[12], minval=1.5, maxval=6.5)
-    noise = jax.random.normal(keys[13], img.shape) * jnp.sqrt(var)
+    do = jax.random.uniform(k_do_noise) < 0.15
+    var = jax.random.uniform(k_var, minval=1.5, maxval=6.5)
+    noise = jax.random.normal(k_noise, img.shape) * jnp.sqrt(var)
     img = jnp.where(do, jnp.clip(img + noise, 0.0, 255.0), img)
 
     # 6. brightness / contrast (brightness relative to max=255, cv2 convention)
-    bkeys = jax.random.split(pkeys[2], 6)
+    bkeys = jax.random.split(bc_key, 6)
     do = jax.random.uniform(bkeys[0]) < 0.15
     alpha = 1.0 + jax.random.uniform(bkeys[1], minval=-0.15, maxval=0.15)
     beta = jax.random.uniform(bkeys[2], minval=-0.15, maxval=0.15) * 255.0
@@ -174,14 +197,78 @@ def augment_pair(img: jnp.ndarray, mask: jnp.ndarray, key: jax.Array
         axis=-1,
     )
     img_hsv = jnp.clip(_hsv_to_rgb(hsv), 0.0, 255.0)
-    img = jnp.where(do, img_hsv, img)
+    return jnp.where(do, img_hsv, img)
 
+
+def augment_pair(img: jnp.ndarray, mask: jnp.ndarray, key: jax.Array
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Augment one (H,W,3) image + (H,W,C) mask pair. Returns same shapes.
+
+    Portable path: the composed homography is sampled with the packed
+    single-gather sampler (octseg.ops.warp._sample_pair_fused). On TPU prefer
+    augment_batch, which swaps in the gather-free Pallas kernel.
+    """
+    h, w, _ = img.shape
+    m_pre, m_persp, rect, phot_keys = _geom_params(key, h, w)
+
+    # --- one fused warp: out --P--> crop coords (validity) --T∘A∘F--> src ---
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing='ij',
+    )
+    cx, cy = _apply_homography(m_persp, xs, ys)
+    inside = _validity(m_persp, rect, h, w)
+    sx, sy = _apply_homography(m_pre, cx, cy)
+    # one gather for both tensors (bilinear image taps + nearest mask tap
+    # packed as channels — see _sample_pair_fused)
+    img, mask = _sample_pair_fused(img, mask, sx, sy)
+    img = img * inside
+    mask = mask * inside
+
+    img = _photometric(img, phot_keys)
     return img, mask
 
 
-@partial(jax.jit, static_argnames=())
-def augment_batch(imgs: jnp.ndarray, masks: jnp.ndarray, key: jax.Array
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Augment a batch of NHWC images + masks with independent per-sample keys."""
-    keys = jax.random.split(key, imgs.shape[0])
-    return jax.vmap(augment_pair)(imgs, masks, keys)
+def augment_batch(imgs: jnp.ndarray, masks: jnp.ndarray, key: jax.Array,
+                  mesh=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Augment a batch of NHWC images + masks with independent per-sample keys.
+
+    On TPU the geometric warp runs through the Pallas two-pass kernel
+    (~10x the gather path, measured r2); elsewhere it falls back to the
+    vmapped gather sampler. A fixed key draws the same transform parameters
+    on both paths. ``mesh`` (optional, >1 devices) shard_maps the kernel over
+    the batch axis so it composes with a pjit-sharded train step.
+    """
+    n, h, w, _ = imgs.shape
+    keys = jax.random.split(key, n)
+    platform = jax.devices()[0].platform.lower()
+    if platform == 'cpu' or h != w:
+        return jax.vmap(augment_pair)(imgs, masks, keys)
+
+    from octseg.ops.pallas.resample import warp_pair_2pass
+
+    m_pre, m_persp, rect, phot_keys = jax.vmap(
+        lambda k: _geom_params(k, h, w)
+    )(keys)
+    # highest precision: translation entries reach the image size, and bf16
+    # matmul quantization there shifts every sampled coordinate (see
+    # _apply_homography)
+    mats = jnp.einsum('nij,njk->nik', m_pre, m_persp, precision='highest')
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        warp = jax.shard_map(
+            warp_pair_2pass, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+        img_w, mask_w = warp(imgs, masks, mats)
+    else:
+        img_w, mask_w = warp_pair_2pass(imgs, masks, mats)
+    inside = jax.vmap(lambda mp, rc: _validity(mp, rc, h, w))(m_persp, rect)
+    img_w = img_w * inside
+    mask_w = mask_w * inside
+    img_w = jax.vmap(_photometric)(img_w, phot_keys)
+    return img_w, mask_w

@@ -124,11 +124,11 @@ def warp_single(img: jnp.ndarray, matrix: jnp.ndarray, interp: str = 'bilinear',
     ys, xs = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing='ij'
     )
-    ones = jnp.ones_like(xs)
-    coords = jnp.stack([xs, ys, ones], axis=-1)  # (H, W, 3) output homogeneous
-    src = coords @ matrix.T
-    sx = src[..., 0] / src[..., 2]
-    sy = src[..., 1] / src[..., 2]
+    # elementwise on purpose: a coords @ matrix.T matmul runs at TPU default
+    # (bf16) matmul precision, quantizing coordinates >255 by up to 2 px
+    sw = matrix[2, 0] * xs + matrix[2, 1] * ys + matrix[2, 2]
+    sx = (matrix[0, 0] * xs + matrix[0, 1] * ys + matrix[0, 2]) / sw
+    sy = (matrix[1, 0] * xs + matrix[1, 1] * ys + matrix[1, 2]) / sw
     if interp == 'bilinear':
         return _sample_bilinear(img, sx, sy, border_value)
     return _sample_nearest(img, sx, sy, border_value)

@@ -28,7 +28,7 @@ import numpy as np
 from octseg.core.config import Config, entry_point
 from octseg.core.logging_utils import ScalarLogger
 from octseg.models import create_model
-from octseg.ops.augment import augment_pair
+from octseg.ops.augment import augment_batch
 from octseg.ops.normalize import normalize_imagenet, sigmoid_threshold
 from octseg.parallel.sharding import batch_sharding, make_mesh, replicate, replicated_sharding
 from octseg.train import checkpoint as ckpt
@@ -64,12 +64,14 @@ def _loss_and_metrics(model, params, batch_stats, imgs, masks, train: bool,
     return loss, (logits, new_stats)
 
 
-def make_train_step(model, use_augmentation: bool, remat: bool = False):
+def make_train_step(model, use_augmentation: bool, remat: bool = False,
+                    mesh=None):
+    """mesh (optional): lets the augmentation's Pallas warp shard_map over the
+    batch axis when the step itself is pjit-sharded over >1 devices."""
     def train_step(state: TrainState, imgs, masks, key):
         aug_key, dropout_key = jax.random.split(key)
         if use_augmentation:
-            keys = jax.random.split(aug_key, imgs.shape[0])
-            imgs, masks = jax.vmap(augment_pair)(imgs, masks, keys)
+            imgs, masks = augment_batch(imgs, masks, aug_key, mesh=mesh)
 
         grad_fn = jax.value_and_grad(
             lambda p: _loss_and_metrics(
@@ -199,6 +201,7 @@ def train_model(
             model,
             bool(cfg.get('use_augmentation', False)),
             remat=bool(cfg.get('remat', False)),
+            mesh=mesh,
         ),
         in_shardings=(None, data_shard, data_shard, repl),
         donate_argnums=(0,),
