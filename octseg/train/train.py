@@ -192,6 +192,16 @@ def train_model(
     variables = model.init(
         {'params': init_rng, 'dropout': init_rng}, sample, train=False
     )
+    # Pretrained encoder start (the reference's encoder_weights='imagenet',
+    # src/models/smp/model.py:38-44). No download path exists on air-gapped
+    # rigs, so the value is a local torch state-dict/ckpt file; it converts
+    # weight-for-weight via octseg.models.convert_torch.
+    enc_weights = cfg.get('encoder_weights')
+    if enc_weights and str(enc_weights).lower() not in ('none', 'null', ''):
+        from octseg.models.convert_torch import load_pretrained_encoder
+
+        variables = load_pretrained_encoder(variables, str(enc_weights), cfg.encoder)
+        log.info('Initialized encoder from %s', enc_weights)
     tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.get('weight_decay', 0.0))
     state = TrainState.create(variables['params'], variables['batch_stats'], tx)
     state = replicate(state, mesh)

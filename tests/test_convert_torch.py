@@ -171,3 +171,49 @@ def test_load_torch_state_dict_formats(tmp_path):
     torch.save({'state_dict': a.state_dict(), 'epoch': 1}, p2)
     sd = load_torch_state_dict(str(p2))
     assert 'weight' in sd
+
+
+def test_train_config_encoder_weights(tmp_path):
+    """cfg.encoder_weights=<torch ckpt path> starts training from converted
+    encoder weights (the reference's encoder_weights='imagenet' role,
+    src/models/smp/model.py:38-44 / configs/train.yaml)."""
+    import jax.numpy as jnp
+
+    from octseg.core.config import Config
+    from octseg.data.synth import make_synth_fold
+    from octseg.train.checkpoint import restore_weights_into
+    from octseg.train.train import train_model
+
+    tm = randomize(SMPModel('Unet', 'resnet18', 1), 9).eval()
+    enc_sd = {k[len('encoder.'):]: v for k, v in tm.state_dict().items()
+              if k.startswith('encoder.')}
+    ckpt_path = tmp_path / 'enc.pth'
+    torch.save(enc_sd, ckpt_path)
+
+    fold = tmp_path / 'fold'
+    make_synth_fold(str(fold), 4, 2, size=64, seed=5)
+    cfg = Config(
+        data_dir=str(fold), classes=['Lumen'], architecture='Unet',
+        encoder='resnet18', optimizer='SGD', lr=0.0, weight_decay=0.0,
+        input_size=64, batch_size=2, epochs=1, use_augmentation=False,
+        save_dir=str(tmp_path / 'models'), model_name='pre', seed=11,
+        native_loader=False, encoder_weights=str(ckpt_path),
+    )
+    train_model(cfg)
+
+    # lr=0 SGD: saved encoder weights must equal the converted torch weights
+    from octseg.models import create_model
+
+    fm = create_model('Unet', 'resnet18', classes=1)
+    import jax
+
+    variables = fm.init({'params': jax.random.PRNGKey(0),
+                         'dropout': jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 64, 64, 3)), train=False)
+    template = jax.tree.map(np.zeros_like, jax.tree.map(np.asarray, variables))
+    saved = restore_weights_into(
+        template, str(tmp_path / 'models' / 'pre' / 'weights.ckpt'))
+    want = np.asarray(tm.state_dict()['encoder.conv1.weight'].numpy())
+    got = np.asarray(
+        saved['params']['encoder']['ConvBNAct_0']['Conv_0']['kernel'])
+    np.testing.assert_allclose(got.transpose(3, 2, 0, 1), want, atol=1e-5)
