@@ -48,7 +48,8 @@ def process_metadata(df: pd.DataFrame, classes: Optional[List[str]] = None) -> p
     if classes is not None:
         df = df[df['class_name'].isin(classes)]
     df = df.dropna(subset=['class_name'])
-    assert len(df) > 0, 'All items have been excluded or dropped'
+    if df.empty:
+        raise ValueError('class/exclude filters left no rows in the metadata')
     return df
 
 

@@ -60,10 +60,10 @@ def get_dir_list(
     for series_dir in glob(data_dir + '/*/'):
         name = Path(series_dir).name
         if include_dirs and name not in include_dirs:
-            logging.info('Skip %s because it is not in the included_dirs list', name)
+            logging.info('%s not in include_dirs — skipping', name)
             continue
         if exclude_dirs and name in exclude_dirs:
-            logging.info('Skip %s because it is in the excluded_dirs list', name)
+            logging.info('%s listed in exclude_dirs — skipping', name)
             continue
         dir_list.append(series_dir)
     dir_list.sort()
