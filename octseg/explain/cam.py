@@ -84,23 +84,26 @@ class CAMProcessor:
         self.method = method
         self.level = feature_level
         self.percentile = percentile
+        # variables flow through as jit ARGUMENTS — a partial/closure would
+        # bake them into the program as constants, whose multi-hundred-MB
+        # compile payload relay-attached compile services reject (HTTP 413)
         self._encode = jax.jit(
-            functools.partial(model.apply, variables, train=False, method='encode')
+            lambda v, x: model.apply(v, x, train=False, method='encode')
         )
         self._decode = jax.jit(
-            functools.partial(model.apply, variables, train=False, method='decode')
+            lambda v, feats: model.apply(v, feats, train=False, method='decode')
         )
 
     # ---- core quantities -------------------------------------------------
     def _acts_and_grads(self, img: np.ndarray, target: SemanticSegmentationTarget):
-        feats = self._encode(img[None])
+        feats = self._encode(self.variables, img[None])
         feats = list(feats)
         a = feats[self.level]
 
         def target_of(act):
             f = list(feats)
             f[self.level] = act
-            return target(self._decode(f))
+            return target(self._decode(self.variables, f))
 
         g = jax.grad(target_of)(a)
         return (
@@ -118,7 +121,7 @@ class CAMProcessor:
         def scored(act):
             f = list(feats)
             f[self.level] = act
-            return target(self._decode(f))
+            return target(self._decode(self.variables, f))
 
         base = float(scored(a))
 

@@ -63,7 +63,7 @@ def main(cfg: Config) -> None:
         model, variables, method=method,
         feature_level=int(cfg.get('feature_level', 5)),
     )
-    forward = jax.jit(lambda x: model.apply(variables, x, train=False))
+    forward = jax.jit(lambda v, x: model.apply(v, x, train=False))
 
     rows = []
     img_paths = sorted(glob(os.path.join(cfg.data_dir, 'img', '*.[pj][np]g')))
@@ -75,7 +75,7 @@ def main(cfg: Config) -> None:
         if gt.ndim == 2:
             gt = gt[:, :, None]
         x = img_bgr.astype(np.float32)
-        logits = np.asarray(forward(x[None]))[0]
+        logits = np.asarray(forward(variables, x[None]))[0]
         pred = (1 / (1 + np.exp(-logits)) > 0.5).astype(np.float32)
 
         for ch, class_name in enumerate(model_cfg['classes']):

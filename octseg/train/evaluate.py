@@ -45,15 +45,19 @@ def evaluate_model(model_dir: str, data_dir: str, batch_size: int = 8,
     # model.py:65-71) — unlike its predict() path. Manifest can opt out.
     normalize = bool(model_cfg.get('normalize', True))
 
-    def _forward(x):
+    def _forward(variables, x):
+        # variables as an ARGUMENT, not a closure: a closed-over tree is
+        # baked into the program as constants — a multi-hundred-MB compile
+        # payload that relay-attached compile services reject outright
         if normalize:
             x = normalize_imagenet(x)
         return model.apply(variables, x, train=False)
 
     forward = jax.jit(_forward)
+    variables = jax.device_put(variables)
     per_class = {name: [] for name in ('iou', 'dice', 'precision', 'recall', 'f1')}
     for imgs, masks in loader:
-        logits = forward(jnp.asarray(imgs))
+        logits = forward(variables, jnp.asarray(imgs))
         pred = sigmoid_threshold(logits)
         m = compute_metrics(pred, jnp.asarray(masks), jnp.float32(0.0))
         for name in per_class:

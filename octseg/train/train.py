@@ -323,7 +323,13 @@ def train_model(
             ckpt.save_weights(
                 os.path.join(model_dir, 'weights.ckpt'), state.params, state.batch_stats
             )
-        ckpt.save_resume(resume_path, state, epoch, {'best_val_loss': best['val_loss']})
+        # resume_interval > 1 amortizes the full-state fetch (params + opt
+        # moments) — on a relay-tunneled chip that fetch dominates short
+        # epochs; crash recovery then loses at most interval-1 epochs
+        interval = max(1, int(cfg.get('resume_interval', 1)))
+        if epoch % interval == 0 or epoch == int(cfg.epochs):
+            ckpt.save_resume(resume_path, state, epoch,
+                             {'best_val_loss': best['val_loss']})
         summary = {
             'best_val_loss': best['val_loss'],
             'last_val_f1': val_f1,

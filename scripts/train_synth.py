@@ -29,6 +29,19 @@ WINNING_CONFIGS = [
 ]
 
 
+def _epochs_done(model_dir: str) -> int:
+    path = os.path.join(model_dir, 'metrics.csv')
+    if not (os.path.exists(path)
+            and os.path.exists(os.path.join(model_dir, 'weights.ckpt'))):
+        return 0
+    last = 0
+    with open(path) as f:
+        next(f, None)
+        for line in f:
+            last = max(last, int(line.split(',', 1)[0]))
+    return last
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument('--size', type=int, default=256)
@@ -69,13 +82,18 @@ def main() -> None:
             'use_augmentation': bool(args.augment),
             'bf16': bool(args.bf16),
             'native_loader': False,
+            'resume_interval': 10,  # full-state fetches are slow on the relay
             'seed': 11,
             'model_name': name,
             'save_dir': args.out,
         })
         t0 = time.time()
         print(f'=== {name}: {arch}/{encoder} @{args.size} ===', flush=True)
-        train_model(cfg, model_dir=model_dir)
+        if _epochs_done(model_dir) >= args.epochs:
+            print(f'{name}: already trained to {args.epochs} epochs — skipping '
+                  'to evaluation', flush=True)
+        else:
+            train_model(cfg, model_dir=model_dir)
         elapsed = time.time() - t0
         scores = {}
         for split in ('train', 'test'):
