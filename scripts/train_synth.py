@@ -54,6 +54,8 @@ def main() -> None:
                         help='reuse an existing synthetic fold dir')
     parser.add_argument('--bf16', action='store_true')
     parser.add_argument('--augment', action='store_true')
+    parser.add_argument('--models', nargs='*', default=None,
+                        help='subset of model dir names (LM FC_LC VV)')
     args = parser.parse_args()
 
     from octseg.core.config import Config
@@ -68,6 +70,8 @@ def main() -> None:
 
     summary_all = {}
     for name, classes, arch, encoder, optimizer, lr in WINNING_CONFIGS:
+        if args.models and name not in args.models:
+            continue
         model_dir = os.path.join(args.out, name)
         cfg = Config({
             'data_dir': fold,
@@ -83,6 +87,8 @@ def main() -> None:
             'bf16': bool(args.bf16),
             'native_loader': False,
             'resume_interval': 10,  # full-state fetches are slow on the relay
+            'resume': True,  # continue partially-trained models (e.g. a rerun
+                             # with a higher --epochs extends, not restarts)
             'seed': 11,
             'model_name': name,
             'save_dir': args.out,
@@ -109,7 +115,13 @@ def main() -> None:
         }
         print(json.dumps(summary_all[name]), flush=True)
 
-    with open(os.path.join(args.out, 'summary.json'), 'w') as f:
+    summary_path = os.path.join(args.out, 'summary.json')
+    if os.path.exists(summary_path):  # merge partial (--models) runs
+        with open(summary_path) as f:
+            merged = json.load(f)
+        merged.update(summary_all)
+        summary_all = merged
+    with open(summary_path, 'w') as f:
         json.dump(summary_all, f, indent=2)
     print('ALL DONE:', json.dumps(summary_all), flush=True)
 
