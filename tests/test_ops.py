@@ -259,3 +259,4 @@ class TestResample2Pass:
         # noise masks flip only where the 0.3-px stencil difference crosses a
         # rounding boundary
         assert (om == rm).mean() > 0.95
+
