@@ -212,3 +212,43 @@ def test_folds_driver_on_mesh(tmp_path):
         assert (root / f'fold_{k}' / 'metrics.csv').exists()
     df = pd.read_csv(root / 'folds_summary.csv')
     assert list(df['fold']) == [1, 2]
+
+
+def test_concurrent_folds_on_submeshes(tmp_path):
+    """concurrent_folds=2 trains two folds simultaneously on disjoint
+    4-device submeshes of the 8-device mesh (fold-parallelism, SURVEY §2.7)."""
+    import pandas as pd
+
+    from octseg.train.folds import train_folds
+
+    cv = tmp_path / 'cv'
+    rng = np.random.default_rng(13)
+    for kf in (1, 2):
+        make_fold(str(cv / f'fold_{kf}'), n_train=4, n_test=4, rng=rng)
+
+    cfg = Config(
+        cv_dir=str(cv),
+        folds=[1, 2],
+        concurrent_folds=2,
+        classes=['Lumen'],
+        architecture='Unet',
+        encoder='resnet18',
+        optimizer='Adam',
+        lr=1e-3,
+        weight_decay=0.0,
+        input_size=64,
+        batch_size=4,
+        epochs=1,
+        use_augmentation=False,
+        save_dir=str(tmp_path / 'models'),
+        model_name='cvpar',
+        seed=11,
+        native_loader=False,
+    )
+    results = train_folds(cfg)
+    assert sorted(r['fold'] for r in results) == [1, 2]
+    root = tmp_path / 'models' / 'cvpar'
+    for kf in (1, 2):
+        assert (root / f'fold_{kf}' / 'weights.ckpt').exists()
+    df = pd.read_csv(root / 'folds_summary.csv')
+    assert sorted(df['fold']) == [1, 2]
