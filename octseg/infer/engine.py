@@ -87,9 +87,14 @@ class InferenceEngine:
         self.compute_dtype = jnp.bfloat16 if bf16 else None
         self.mesh = mesh or make_mesh()
         self.n_devices = self.mesh.devices.size
-        # block size: static frame-chunk per forward, multiple of mesh size
-        self.block_size = max(block_size // self.n_devices, 1) * self.n_devices
+        # block size: static frame-chunk per forward = mesh size x a power of
+        # two, so memory-driven halving (_block_for) always yields divisors
+        # of the full block — chunked slicing stays exact
+        quota = max(block_size // self.n_devices, 1)
+        quota = 1 << (quota.bit_length() - 1)
+        self.block_size = quota * self.n_devices
         self._bundles: Dict[str, tuple] = {}
+        self._blocks: Dict[tuple, int] = {}
 
     def _bundle(self, model_dir_name: str):
         if model_dir_name not in self._bundles:
@@ -97,6 +102,24 @@ class InferenceEngine:
             self._bundles[model_dir_name] = load_model_bundle(path, self.compute_dtype)
             log.info('Loaded model %s', path)
         return self._bundles[model_dir_name]
+
+    # HBM budget per chip for one model's execution (args + temps + outputs);
+    # v5e has 16 GB minus runtime reservations
+    HBM_BUDGET = 14.5 * 2 ** 30
+
+    def _fits(self, fn, variables, sample_args):
+        """(fits, compiled) from XLA's memory_analysis, without executing (an
+        actual OOM on a relay chip kills the client). Sizes are per device.
+        The compiled executable is returned so the probe's compile work is
+        reused for the real run instead of repeating it through jit."""
+        try:
+            compiled = fn.lower(variables, *sample_args).compile()
+            m = compiled.memory_analysis()
+            need = (m.temp_size_in_bytes + m.argument_size_in_bytes
+                    + m.output_size_in_bytes)
+        except Exception:  # pragma: no cover - analysis unsupported (CPU)
+            return True, None
+        return need <= self.HBM_BUDGET, compiled
 
     @functools.lru_cache(maxsize=None)
     def _forward_fn(self, model_dir_name: str, out_h: int, out_w: int,
@@ -131,6 +154,39 @@ class InferenceEngine:
         self._bundles[model_dir_name] = (model, variables, model_cfg)
         return fn, variables, model_cfg
 
+    def _block_for(self, model_dir_name: str, fn, variables, frame_shape,
+                   dtype):
+        """(block, runner): the largest block size (engine block halved until
+        it fits, ≥ mesh size) whose compiled program fits HBM — decided from
+        XLA's memory analysis, never by trial execution (896-px models OOM a
+        16 GB chip at the 512-px block size). runner is the probe's compiled
+        executable, reused so sizing costs no extra compilation."""
+        key = (model_dir_name, tuple(frame_shape[1:]), str(dtype))
+        if key in self._blocks:
+            return self._blocks[key]
+        bs = self.block_size
+        runner = None
+        while True:
+            sample = jax.ShapeDtypeStruct((bs, *frame_shape[1:]), dtype)
+            ok, runner = self._fits(fn, variables, (sample,))
+            if ok or bs <= self.n_devices:
+                break
+            log.info('%s: block %d exceeds the HBM budget — halving',
+                     model_dir_name, bs)
+            bs //= 2
+            runner = None
+        self._blocks[key] = (bs, runner)
+        return bs, runner
+
+    @staticmethod
+    def _run(runner, fn, variables, chunk):
+        if runner is not None:
+            try:
+                return runner(variables, chunk)
+            except Exception:  # committed-layout mismatch — jit path instead
+                pass
+        return fn(variables, chunk)
+
     def run_model(
         self, model_dir_name: str, images: List[Image.Image], output_size: Sequence[int]
     ) -> np.ndarray:
@@ -143,14 +199,20 @@ class InferenceEngine:
         ).astype(np.float32)
         n = frames.shape[0]
         outs = []
-        bs = self.block_size
+        bs, runner = self._block_for(
+            model_dir_name, fn, variables,
+            (self.block_size, input_size, input_size, 3), jnp.float32,
+        )
         data_shard = batch_sharding(self.mesh)
         for start in range(0, n, bs):
             chunk = frames[start:start + bs]
             pad = bs - chunk.shape[0]
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
-            out = fn(variables, jax.device_put(jnp.asarray(chunk), data_shard))
+            out = self._run(
+                runner, fn, variables,
+                jax.device_put(jnp.asarray(chunk), data_shard),
+            )
             outs.append(np.asarray(out)[: bs - pad])
         return np.concatenate(outs, axis=0)
 
@@ -171,14 +233,14 @@ class InferenceEngine:
             by_model.setdefault(MODELS_META[class_name]['model_dir'], []).append(class_name)
 
         data_shard = batch_sharding(self.mesh)
-        bs = self.block_size
-        pad_total = (-n) % bs
+        # pad once to the engine block (every per-model block divides it),
+        # upload once, share across all models
+        pad_total = (-n) % self.block_size
         if isinstance(frames, np.ndarray):
             if pad_total:
                 frames = np.concatenate(
                     [frames, np.zeros((pad_total, *frames.shape[1:]), frames.dtype)]
                 )
-            # one upload for the whole pullback, shared across all models
             frames = jax.device_put(jnp.asarray(frames), data_shard)
         elif pad_total:
             frames = jnp.pad(frames, ((0, pad_total), (0, 0), (0, 0), (0, 0)))
@@ -187,8 +249,13 @@ class InferenceEngine:
             fn, variables, _cfg = self._forward_fn(
                 model_dir_name, out_h, out_w, device_preprocess=True
             )
+            bs, runner = self._block_for(
+                model_dir_name, fn, variables,
+                (self.block_size, *frames.shape[1:]), frames.dtype,
+            )
             outs = [
-                fn(variables, jax.lax.dynamic_slice_in_dim(frames, start, bs))
+                self._run(runner, fn, variables,
+                          jax.lax.dynamic_slice_in_dim(frames, start, bs))
                 for start in range(0, n + pad_total, bs)
             ]
             pred = np.concatenate([np.asarray(o) for o in outs], axis=0)[:n]
