@@ -18,7 +18,6 @@ predicted mask (cam_processor.py:116-140).
 
 from __future__ import annotations
 
-import functools
 from typing import List
 
 import cv2
