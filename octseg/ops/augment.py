@@ -229,6 +229,16 @@ def augment_pair(img: jnp.ndarray, mask: jnp.ndarray, key: jax.Array
     return img, mask
 
 
+def _use_pallas_warp() -> bool:
+    """Compiled Pallas path on TPU-like backends; gather path on CPU (tests
+    monkeypatch this to drive the kernel in interpret mode on the CPU mesh)."""
+    return jax.devices()[0].platform.lower() != 'cpu'
+
+
+# interpret-mode escape hatch for CPU-mesh tests of the pallas path
+_INTERPRET = False
+
+
 def augment_batch(imgs: jnp.ndarray, masks: jnp.ndarray, key: jax.Array,
                   mesh=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Augment a batch of NHWC images + masks with independent per-sample keys.
@@ -241,8 +251,7 @@ def augment_batch(imgs: jnp.ndarray, masks: jnp.ndarray, key: jax.Array,
     """
     n, h, w, _ = imgs.shape
     keys = jax.random.split(key, n)
-    platform = jax.devices()[0].platform.lower()
-    if platform == 'cpu' or h != w:
+    if not _use_pallas_warp() or h != w:
         return jax.vmap(augment_pair)(imgs, masks, keys)
 
     from octseg.ops.pallas.resample import warp_pair_2pass
@@ -258,15 +267,17 @@ def augment_batch(imgs: jnp.ndarray, masks: jnp.ndarray, key: jax.Array,
         from jax.sharding import PartitionSpec as P
 
         axis = mesh.axis_names[0]
+        import functools
+
         warp = jax.shard_map(
-            warp_pair_2pass, mesh=mesh,
+            functools.partial(warp_pair_2pass, interpret=_INTERPRET), mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis)),
             out_specs=(P(axis), P(axis)),
             check_vma=False,
         )
         img_w, mask_w = warp(imgs, masks, mats)
     else:
-        img_w, mask_w = warp_pair_2pass(imgs, masks, mats)
+        img_w, mask_w = warp_pair_2pass(imgs, masks, mats, interpret=_INTERPRET)
     inside = jax.vmap(lambda mp, rc: _validity(mp, rc, h, w))(m_persp, rect)
     img_w = img_w * inside
     mask_w = mask_w * inside

@@ -260,3 +260,41 @@ class TestResample2Pass:
         # rounding boundary
         assert (om == rm).mean() > 0.95
 
+
+
+def test_augment_batch_pallas_path_in_sharded_jit(monkeypatch):
+    """The TPU augmentation path (Pallas warp shard_mapped over the batch
+    axis) must compose with a pjit-sharded step — exercised on the 8-device
+    CPU mesh in interpret mode; a multi-chip TPU train step compiles the
+    same structure."""
+    import functools
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from octseg.ops import augment
+    from octseg.parallel.sharding import make_mesh
+
+    monkeypatch.setattr(augment, '_use_pallas_warp', lambda: True)
+    monkeypatch.setattr(augment, '_INTERPRET', True)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 255, (8, 32, 32, 3)).astype(np.float32))
+    masks = jnp.asarray((rng.random((8, 32, 32, 4)) > 0.5).astype(np.float32))
+    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+    key = jax.random.PRNGKey(3)
+
+    @functools.partial(jax.jit, in_shardings=(shard, shard))
+    def step(i, m):
+        wi, wm = augment.augment_batch(i, m, key, mesh=mesh)
+        return wi, wm
+
+    wi, wm = step(imgs, masks)
+    assert wi.shape == imgs.shape and wm.shape == masks.shape
+    assert set(np.unique(np.asarray(wm))) <= {0.0, 1.0}
+    # distribution sanity vs the gather path under the same key
+    gi, gm = jax.vmap(augment.augment_pair)(imgs, masks,
+                                            jax.random.split(key, 8))
+    assert float((np.asarray(wm) == np.asarray(gm)).mean()) > 0.95
