@@ -114,11 +114,19 @@ class InferenceEngine:
         reused for the real run instead of repeating it through jit."""
         try:
             compiled = fn.lower(variables, *sample_args).compile()
+        except Exception as e:
+            # the TPU compiler enforces the HBM limit at compile time — a
+            # failed compile at this block size means it does not fit (any
+            # non-memory compile error will surface on the smallest block)
+            log.info('compile at this block size failed (%s)',
+                     str(e).splitlines()[0][:120])
+            return False, None
+        try:
             m = compiled.memory_analysis()
             need = (m.temp_size_in_bytes + m.argument_size_in_bytes
                     + m.output_size_in_bytes)
         except Exception:  # pragma: no cover - analysis unsupported (CPU)
-            return True, None
+            return True, compiled
         return need <= self.HBM_BUDGET, compiled
 
     @functools.lru_cache(maxsize=None)
