@@ -11,6 +11,12 @@ Usage: python benchmarks/e2e_pullback.py [n_frames] [frame_size]
 
 from __future__ import annotations
 
+import os
+import sys
+
+# runnable from anywhere: repo-root import without an installed package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 import sys
@@ -64,8 +70,13 @@ def main():
     import jax.numpy as jnp
 
     t0 = time.perf_counter()
-    dev_frames = jax.device_put(jnp.asarray(pixels))
-    _ = float(np.asarray(jax.device_get(dev_frames[0, 0, 0, 0])))
+    bs_engine = engine.block_size
+    n_pad = ((n_frames + bs_engine - 1) // bs_engine) * bs_engine
+    padded = np.concatenate(
+        [pixels, np.zeros((n_pad - n_frames, *pixels.shape[1:]), pixels.dtype)]
+    ) if n_pad != n_frames else np.asarray(pixels)
+    dev_all = jax.device_put(jnp.asarray(padded))
+    _ = float(np.asarray(jax.device_get(dev_all[0, 0, 0, 0])))
     t_upload = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -73,27 +84,28 @@ def main():
     t_segment = time.perf_counter() - t0
 
     # (c) compute-only: frames already device-resident, outputs probe-synced
-    # (mask download excluded — negligible over PCIe, ~11 MB/s over this relay)
+    # (mask download excluded — negligible over PCIe, ~11 MB/s over this
+    # relay). Per-model blocks + a sync per model: different executables'
+    # temp buffers cannot coexist in HBM (see engine._block_for).
     probe = jax.jit(lambda m: m[0, 0, 0, 0])
-    bs = engine.block_size
-    n_pad = ((n_frames + bs - 1) // bs) * bs
-    pads = jnp.zeros((n_pad - n_frames, *dev_frames.shape[1:]), dev_frames.dtype)
-    dev_all = jnp.concatenate([dev_frames, pads]) if n_pad != n_frames else dev_frames
-    fns = []
-    out = None
+    t_compute = 0.0
     for model_dir_name in ('LM', 'FC_LC', 'VV'):
         fn, variables, _ = engine._forward_fn(
             model_dir_name, frame_size, frame_size, device_preprocess=True
         )
-        fns.append((fn, variables))
-        out = fn(variables, jax.lax.dynamic_slice_in_dim(dev_all, 0, bs))  # warm
-    _ = float(np.asarray(jax.device_get(probe(out))))
-    t0 = time.perf_counter()
-    for fn, variables in fns:
+        bs, runner = engine._block_for(
+            model_dir_name, fn, variables, (bs_engine, *padded.shape[1:]),
+            dev_all.dtype, extra_resident=padded.nbytes,
+        )
+        out = engine._run(runner, fn, variables,
+                          jax.lax.dynamic_slice_in_dim(dev_all, 0, bs))  # warm
+        _ = float(np.asarray(jax.device_get(probe(out))))
+        t0 = time.perf_counter()
         for start in range(0, n_pad, bs):
-            out = fn(variables, jax.lax.dynamic_slice_in_dim(dev_all, start, bs))
-    _ = float(np.asarray(jax.device_get(probe(out))))
-    t_compute = time.perf_counter() - t0
+            out = engine._run(runner, fn, variables,
+                              jax.lax.dynamic_slice_in_dim(dev_all, start, bs))
+        _ = float(np.asarray(jax.device_get(probe(out))))
+        t_compute += time.perf_counter() - t0
 
     n_chips = jax.device_count()
     print(json.dumps({

@@ -103,11 +103,25 @@ class InferenceEngine:
             log.info('Loaded model %s', path)
         return self._bundles[model_dir_name]
 
-    # HBM budget per chip for one model's execution (args + temps + outputs);
-    # v5e has 16 GB minus runtime reservations
-    HBM_BUDGET = 14.5 * 2 ** 30
+    # HBM budget per chip for one model's execution (args + temps + outputs)
+    # PLUS resident buffers (the uploaded pullback, every loaded model's
+    # replicated params); v5e has 15.75 GB usable minus runtime reservations
+    # and XLA arena fragmentation (~13% observed on big programs)
+    HBM_BUDGET = 14.2 * 2 ** 30
 
-    def _fits(self, fn, variables, sample_args):
+    def _resident_bytes(self) -> int:
+        """Device bytes held across executions: all loaded models' params."""
+        import numpy as _np
+
+        total = 0
+        for _model, variables, _cfg in self._bundles.values():
+            total += sum(
+                int(_np.prod(x.shape)) * x.dtype.itemsize
+                for x in jax.tree.leaves(variables)
+            )
+        return total
+
+    def _fits(self, fn, variables, sample_args, budget=None):
         """(fits, compiled) from XLA's memory_analysis, without executing (an
         actual OOM on a relay chip kills the client). Sizes are per device.
         The compiled executable is returned so the probe's compile work is
@@ -127,7 +141,7 @@ class InferenceEngine:
                     + m.output_size_in_bytes)
         except Exception:  # pragma: no cover - analysis unsupported (CPU)
             return True, compiled
-        return need <= self.HBM_BUDGET, compiled
+        return need <= (budget if budget is not None else self.HBM_BUDGET), compiled
 
     @functools.lru_cache(maxsize=None)
     def _forward_fn(self, model_dir_name: str, out_h: int, out_w: int,
@@ -163,7 +177,7 @@ class InferenceEngine:
         return fn, variables, model_cfg
 
     def _block_for(self, model_dir_name: str, fn, variables, frame_shape,
-                   dtype):
+                   dtype, extra_resident: int = 0):
         """(block, runner): the largest block size (engine block halved until
         it fits, ≥ mesh size) whose compiled program fits HBM — decided from
         XLA's memory analysis, never by trial execution (896-px models OOM a
@@ -172,11 +186,16 @@ class InferenceEngine:
         key = (model_dir_name, tuple(frame_shape[1:]), str(dtype))
         if key in self._blocks:
             return self._blocks[key]
+        # resident buffers shrink the per-execution budget: the uploaded
+        # pullback plus every loaded model's replicated params (this model's
+        # are also inside the probed argument sizes — counting them twice
+        # errs on the safe side)
+        budget = self.HBM_BUDGET - self._resident_bytes() - extra_resident
         bs = self.block_size
         runner = None
         while True:
             sample = jax.ShapeDtypeStruct((bs, *frame_shape[1:]), dtype)
-            ok, runner = self._fits(fn, variables, (sample,))
+            ok, runner = self._fits(fn, variables, (sample,), budget)
             if ok or bs <= self.n_devices:
                 break
             log.info('%s: block %d exceeds the HBM budget — halving',
@@ -260,6 +279,7 @@ class InferenceEngine:
             bs, runner = self._block_for(
                 model_dir_name, fn, variables,
                 (self.block_size, *frames.shape[1:]), frames.dtype,
+                extra_resident=int(frames.size) * frames.dtype.itemsize,
             )
             outs = [
                 self._run(runner, fn, variables,

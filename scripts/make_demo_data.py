@@ -16,6 +16,12 @@ Usage: python scripts/make_demo_data.py [--root data] [--frames 24] [--size 512]
 
 from __future__ import annotations
 
+import os
+import sys
+
+# runnable from anywhere: repo-root import without an installed package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 

@@ -15,6 +15,12 @@ Usage: python scripts/train_synth.py [--size 256] [--train 120] [--test 40]
 
 from __future__ import annotations
 
+import os
+import sys
+
+# runnable from anywhere: repo-root import without an installed package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import os
