@@ -11,6 +11,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from octseg.models.rematutil import maybe_remat
 from octseg.models.common import ConvBNAct
 
 
@@ -57,7 +58,7 @@ class LinkNetDecoder(nn.Module):
         skips = [features[4], features[3], features[2], features[1]]
         x = features[5]
         for skip in skips:
-            x = LinkNetDecoderBlock(skip.shape[-1], dtype=self.dtype)(x, train)
+            x = maybe_remat(LinkNetDecoderBlock)(skip.shape[-1], dtype=self.dtype)(x, train)
             x = x + skip
         x = LinkNetDecoderBlock(self.prefinal_channels, dtype=self.dtype)(x, train)
         return x  # full resolution

@@ -12,6 +12,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from octseg.models.rematutil import maybe_remat
 from octseg.models.common import Attention2D, ConvBNAct, upsample
 
 
@@ -44,7 +45,8 @@ class UnetDecoder(nn.Module):
         skips = [features[4], features[3], features[2], features[1], None]
         x = head
         for ch, skip in zip(self.decoder_channels, skips):
-            x = DecoderBlock(ch, self.use_attention, dtype=self.dtype)(x, skip, train)
+            x = maybe_remat(DecoderBlock, static_argnums=(3,))(
+                ch, self.use_attention, dtype=self.dtype)(x, skip, train)
         return x  # full resolution
 
     @property

@@ -15,6 +15,7 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from octseg.models.rematutil import maybe_remat
 from octseg.models.common import ConvBNAct, SqueezeExcite
 
 # efficientnet-pytorch (the package smp wraps for 'efficientnet-bX') uses
@@ -150,7 +151,7 @@ class EfficientNetEncoder(nn.Module):
             elif stride == 2:
                 current_stride *= 2
             for block_idx in range(repeats):
-                y = MBConv(
+                y = maybe_remat(MBConv)(
                     out_c,
                     expand,
                     kernel,

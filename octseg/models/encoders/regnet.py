@@ -13,6 +13,7 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from octseg.models.rematutil import maybe_remat
 from octseg.models.common import ConvBNAct, SqueezeExcite
 
 _CONFIGS = {
@@ -80,7 +81,7 @@ class RegNetEncoder(nn.Module):
             else:
                 current_stride *= 2
             for block_idx in range(depth):
-                y = RegNetBlock(
+                y = maybe_remat(RegNetBlock)(
                     width,
                     group_width=cfg['group'],
                     strides=(stage_stride, stage_stride) if block_idx == 0 else (1, 1),

@@ -18,6 +18,7 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from octseg.models.rematutil import maybe_remat
 from octseg.models.common import ConvBNAct
 
 
@@ -88,6 +89,7 @@ class ResNetEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False):
         cfg = _CONFIGS[self.variant]
         block, layers, widths = cfg['block'], cfg['layers'], cfg['widths']
+        block = maybe_remat(block)  # per-block checkpointing when enabled
 
         features = [x]
         y = ConvBNAct(64, (7, 7), (2, 2), dtype=self.dtype)(x, train)  # 1/2

@@ -42,20 +42,19 @@ log = logging.getLogger(__name__)
 
 def _loss_and_metrics(model, params, batch_stats, imgs, masks, train: bool,
                       dropout_key=None, remat: bool = False):
+    # remat (activation checkpointing) is PER-BLOCK, enabled model-wide via
+    # octseg.models.rematutil (train_model sets it from cfg.remat): a
+    # whole-apply jax.checkpoint saves nothing at peak — the backward
+    # recomputes the entire forward and holds every activation at once
+    # (measured identical peak, r2). The parameter is kept for API clarity.
+    del remat
     x = normalize_imagenet(imgs)
     variables = {'params': params, 'batch_stats': batch_stats}
     if train:
-        def apply_fn(variables, x):
-            return model.apply(
-                variables, x, train=True, mutable=['batch_stats'],
-                rngs={'dropout': dropout_key},
-            )
-
-        if remat:
-            # trade FLOPs for memory: recompute activations in the backward
-            # pass (enables large batches / 896px inputs on one chip)
-            apply_fn = jax.checkpoint(apply_fn)
-        logits, mutated = apply_fn(variables, x)
+        logits, mutated = model.apply(
+            variables, x, train=True, mutable=['batch_stats'],
+            rngs={'dropout': dropout_key},
+        )
         new_stats = mutated['batch_stats']
     else:
         logits = model.apply(variables, x, train=False)
@@ -179,6 +178,10 @@ def train_model(
     data_shard = batch_sharding(mesh)
     repl = replicated_sharding(mesh)
 
+    from octseg.models.rematutil import set_block_remat
+
+    # per-block activation rematerialization (process-global, trace-time)
+    set_block_remat(bool(cfg.get('remat', False)))
     # bf16 compute (params stay fp32, logits/loss fp32) — TPU-native mixed
     # precision, opt-in to keep exact reference parity by default
     compute_dtype = jnp.bfloat16 if cfg.get('bf16', False) else jnp.float32

@@ -91,3 +91,41 @@ def test_train_mode_updates_batch_stats():
         variables, x, train=True, mutable=['batch_stats'], rngs={'dropout': RNGS['dropout']}
     )
     assert 'batch_stats' in mutated
+
+
+def test_block_remat_is_transparent():
+    """Per-block rematerialization (octseg.models.rematutil) must not change
+    parameter paths (checkpoints are remat-agnostic) nor outputs, and grads
+    must flow through the checkpointed blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    import numpy as np
+
+    from octseg.models import create_model, rematutil
+
+    m = create_model('Unet', 'resnet18', classes=2)
+    k = {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(0)}
+    x = jnp.ones((1, 64, 64, 3))
+    try:
+        v1 = m.init(k, x, train=False)
+        rematutil.set_block_remat(True)
+        v2 = m.init(k, x, train=False)
+        assert jax.tree.structure(v1) == jax.tree.structure(v2)
+        o1 = m.apply(v1, x, train=False)
+        o2 = m.apply(v2, x, train=False)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+        def loss(p):
+            out, _ = m.apply(
+                {'params': p, 'batch_stats': v2['batch_stats']},
+                jnp.ones((2, 64, 64, 3)), train=True, mutable=['batch_stats'],
+                rngs={'dropout': jax.random.PRNGKey(1)},
+            )
+            return (out ** 2).mean()
+
+        g = jax.grad(loss)(v2['params'])
+        leaves = jax.tree.leaves(g)
+        assert any(float(jnp.abs(leaf).max()) > 0 for leaf in leaves)
+    finally:
+        rematutil.set_block_remat(False)
