@@ -96,6 +96,17 @@ def run_sweep(cfg: Config, devices=None) -> dict:
         log.info('resuming sweep at trial %d (best so far %.4f)',
                  start_trial, best['val_f1'])
 
+    # warm_start: seed the Bayesian model with observations from ANOTHER
+    # sweep's results file (e.g. the aggregated exports of
+    # octseg.tune.get_configs) without advancing this sweep's trial indices
+    # — a new sweep starts informed instead of cold
+    warm = cfg.get('warm_start')
+    if warm:
+        rows = _load_completed(str(warm))
+        for _trial, params, val_f1 in rows:
+            search.observe(params, val_f1)
+        log.info('warm-started from %s (%d observations)', warm, len(rows))
+
     lock = threading.Lock()
     write_header = not os.path.exists(results_path)
 

@@ -138,3 +138,23 @@ def test_concurrent_sweep_runs_trials_in_parallel(tmp_path):
         run_sweep(_sweep_cfg(fold, str(tmp_path / 'seq'), 8))
         seq = time.time() - t0
         assert wall < seq / 1.5, f'sequential {seq:.1f}s, concurrent {wall:.1f}s'
+
+
+def test_sweep_warm_start(tmp_path):
+    """warm_start seeds the Bayesian model from another sweep's results file
+    without consuming trial indices of the new sweep."""
+    from octseg.tune.tune import run_sweep
+    from tests.test_train import make_fold
+
+    fold = make_fold(str(tmp_path / 'fold'), n_train=8, n_test=4, size=64)
+    cfg_a = _sweep_cfg(fold, str(tmp_path / 'sweep_a'), 2,
+                       learning_rate=[1e-3, 1e-4])
+    run_sweep(cfg_a)
+
+    cfg_b = _sweep_cfg(fold, str(tmp_path / 'sweep_b'), 1,
+                       learning_rate=[1e-3, 1e-4])
+    cfg_b['warm_start'] = str(tmp_path / 'sweep_a' / 'tuning_results.csv')
+    best = run_sweep(cfg_b)
+    df = pd.read_csv(tmp_path / 'sweep_b' / 'tuning_results.csv')
+    assert list(df['trial']) == [0]  # warm observations consume no indices
+    assert best['val_f1'] >= 0
