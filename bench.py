@@ -54,15 +54,17 @@ def build(arch, encoder, classes):
         logits = model.apply(variables, imgs, train=False)
         return resize_nearest(sigmoid_threshold(logits), OUT)
 
-    # analytical cost of the whole jitted graph (XLA's own accounting):
-    # flops here are counted at the HLO level (a bf16 MXU matmul still
-    # counts each multiply-add as 2 flops)
+    # ONE AOT compile per model: the compiled executable provides both the
+    # analytical cost (XLA's own accounting; a bf16 MXU matmul counts each
+    # multiply-add as 2 flops) and the benchmark callable — calling the jit
+    # wrapper instead would compile each multi-minute program a second time.
+    variables = jax.device_put(variables)
+    compiled = forward.lower(variables, imgs).compile()
     try:
-        cost = forward.lower(variables, imgs).compile().cost_analysis()
-        flops = float(cost.get('flops', 0.0))
+        flops = float(compiled.cost_analysis().get('flops', 0.0))
     except Exception:
         flops = 0.0
-    return forward, variables, flops
+    return compiled, variables, flops
 
 
 def main():
@@ -70,8 +72,8 @@ def main():
 
     n_chips = jax.device_count()
     fns = [build(*spec) for spec in ENSEMBLE]
-    imgs = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, INPUT, INPUT, 3),
-                              jnp.float32, 0, 255)
+    imgs = jax.device_put(jax.random.uniform(
+        jax.random.PRNGKey(1), (BATCH, INPUT, INPUT, 3), jnp.float32, 0, 255))
     # single-element probe: forcing a host fetch is the only reliable sync on
     # a tunneled device (block_until_ready acks enqueue, not completion)
     probe = jax.jit(lambda m: m[0, 0, 0, 0])

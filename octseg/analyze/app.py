@@ -113,11 +113,15 @@ function updateAll(){
   document.getElementById('plot_area').src = '/plot_area.png?sid='+SID+'&classes='+c+'&t='+Date.now();
   updateFrame();
 }
+let FRAME_SEQ = 0;
 async function updateFrame(){
   const n = document.getElementById('frame').value;
+  const seq = ++FRAME_SEQ;  // rapid slider moves: only the latest wins
   document.getElementById('frameno').textContent = n;
   document.getElementById('frameimg').src = '/base_frame.png?sid='+SID+'&num='+n;
-  CONTOURS = await (await fetch('/contours.json?sid='+SID+'&num='+n)).json();
+  const c = await (await fetch('/contours.json?sid='+SID+'&num='+n)).json();
+  if(seq !== FRAME_SEQ) return;  // a newer request superseded this one
+  CONTOURS = c;
   renderOverlay();
 }
 function renderOverlay(){
@@ -177,11 +181,13 @@ class AppState:
         self.cfg = cfg
         self.sessions: Dict[str, Dict] = {}
         self.latest: Optional[str] = None
-        self.lock = threading.Lock()
+        self.lock = threading.Lock()  # guards the sessions dict only
+        self.analysis_lock = threading.Lock()  # serializes analyses (one device)
         self.max_sessions = int(cfg.get('max_sessions', 8))
 
     def put(self, data: Dict) -> str:
         sid = uuid.uuid4().hex[:12]
+        evicted = []
         with self.lock:
             self.sessions[sid] = data
             self.latest = sid
@@ -189,8 +195,24 @@ class AppState:
                 oldest = next(iter(self.sessions))
                 if oldest == sid:
                     break
-                del self.sessions[oldest]
+                evicted.append(self.sessions.pop(oldest))
+        for old in evicted:  # outside the lock: disk cleanup can be slow
+            self._cleanup(old)
         return sid
+
+    def _cleanup(self, data: Dict) -> None:
+        """Delete an evicted session's work_dir — but only dirs this app
+        created under temp_dir (demo sessions point at the shared demo
+        dataset, which must survive)."""
+        import shutil
+
+        work_dir = data.get('work_dir')
+        temp_root = os.path.abspath(self.cfg.get('temp_dir', 'data/app/temp'))
+        if not work_dir:
+            return
+        wd = os.path.abspath(work_dir)
+        if wd.startswith(temp_root + os.sep) and os.path.isdir(wd):
+            shutil.rmtree(wd, ignore_errors=True)
 
     def get(self, sid: Optional[str]) -> Optional[Dict]:
         with self.lock:
@@ -259,18 +281,22 @@ def make_handler(state: AppState):
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
             mode = q.get('mode', 'demo')
             try:
-                # analyses are serialized (one device); results are per-session
-                with state.lock:
+                # read the upload OUTSIDE any lock (a slow client must not
+                # stall other sessions), then serialize only the analysis
+                # itself (one device); GETs never wait on it
+                tmp = None
+                if mode != 'demo':
+                    length = int(self.headers.get('Content-Length', 0))
+                    blob = self.rfile.read(length)
+                    with tempfile.NamedTemporaryFile(delete=False) as f:
+                        f.write(blob)
+                        tmp = f.name
+                with state.analysis_lock:
                     if mode == 'demo':
                         data = get_analysis(
                             None, 'demo', demo_dir=state.cfg.get('demo_dir', 'data/app/demo')
                         )
                     else:
-                        length = int(self.headers.get('Content-Length', 0))
-                        blob = self.rfile.read(length)
-                        with tempfile.NamedTemporaryFile(delete=False) as f:
-                            f.write(blob)
-                            tmp = f.name
                         data = get_analysis(
                             tmp, 'inference',
                             models_dir=state.cfg.get('models_dir', 'models'),

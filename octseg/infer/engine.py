@@ -279,7 +279,9 @@ class InferenceEngine:
             bs, runner = self._block_for(
                 model_dir_name, fn, variables,
                 (self.block_size, *frames.shape[1:]), frames.dtype,
-                extra_resident=int(frames.size) * frames.dtype.itemsize,
+                # the pullback is batch-sharded: per-device share only
+                extra_resident=int(frames.size) * frames.dtype.itemsize
+                // self.n_devices,
             )
             outs = [
                 self._run(runner, fn, variables,

@@ -87,8 +87,7 @@ class _Builder:
         self.consumed.add(key)
         return self.sd[key]
 
-    def conv(self, tkey: str, fpath: str, bias: bool = False,
-             transpose: bool = False) -> None:
+    def conv(self, tkey: str, fpath: str, bias: bool = False) -> None:
         w = self.take(tkey + '.weight')
         kernel = w.transpose(2, 3, 1, 0)
         self.params[tuple(fpath.split('/')) + ('kernel',)] = \

@@ -22,6 +22,7 @@ import csv
 import logging
 import os
 import time
+import queue
 from concurrent.futures import ThreadPoolExecutor
 from typing import List
 
@@ -42,30 +43,38 @@ def train_folds(cfg: Config) -> List[dict]:
 
     device_pool = jax.devices()
     k = max(1, min(int(cfg.get('concurrent_folds', 1)), len(device_pool), len(folds)))
-    groups = [device_pool[i::k] for i in range(k)]
+    # free-submesh queue (same pattern as the tuner): a finished fold returns
+    # its group before the next fold claims one — binding groups by fold
+    # index would let two folds land on the same submesh when they finish
+    # out of order
+    free_groups: 'queue.Queue' = queue.Queue()
+    for i in range(k):
+        free_groups.put(device_pool[i::k])
 
-    def run_one(idx_fold):
-        idx, fold = idx_fold
+    def run_one(fold):
         fold_cfg = Config(dict(cfg))
         fold_cfg['data_dir'] = os.path.join(cv_dir, f'fold_{fold}')
         fold_cfg['model_name'] = f'{run_name}/fold_{fold}'
         t0 = time.time()
-        group = groups[idx % k]
-        log.info('=== fold %s (on %d device(s)) ===', fold, len(group))
-        summary = train_model(
-            fold_cfg,
-            model_dir=os.path.join(save_root, f'fold_{fold}'),
-            devices=group if k > 1 else None,
-        )
+        group = free_groups.get()
+        try:
+            log.info('=== fold %s (on %d device(s)) ===', fold, len(group))
+            summary = train_model(
+                fold_cfg,
+                model_dir=os.path.join(save_root, f'fold_{fold}'),
+                devices=group if k > 1 else None,
+            )
+        finally:
+            free_groups.put(group)
         summary['fold'] = fold
         summary['duration_s'] = round(time.time() - t0, 1)
         return summary
 
     if k > 1:
         with ThreadPoolExecutor(max_workers=k) as pool:
-            results = list(pool.map(run_one, enumerate(folds)))
+            results = list(pool.map(run_one, folds))
     else:
-        results = [run_one(x) for x in enumerate(folds)]
+        results = [run_one(f) for f in folds]
 
     with open(os.path.join(save_root, 'folds_summary.csv'), 'w', newline='') as f:
         fields = ['fold', 'best_val_loss', 'last_val_f1', 'epochs_done', 'duration_s']

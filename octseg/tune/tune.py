@@ -49,7 +49,8 @@ _PARAM_FIELDS = ('architecture', 'encoder', 'optimizer', 'lr', 'input_size')
 
 
 def _load_completed(results_path: str):
-    """Rows of a previous sweep run (for resume): [(trial, params, val_f1)]."""
+    """Rows of a previous sweep run (for resume):
+    [(trial, params, val_f1, status)]."""
     if not os.path.exists(results_path):
         return []
     out = []
@@ -63,7 +64,8 @@ def _load_completed(results_path: str):
                     'lr': float(row['lr']),
                     'input_size': int(row['input_size']),
                 }
-                out.append((int(row['trial']), params, float(row['val_f1'])))
+                out.append((int(row['trial']), params, float(row['val_f1']),
+                            row.get('status', 'ok')))
             except (KeyError, ValueError):
                 continue
     return out
@@ -87,10 +89,14 @@ def run_sweep(cfg: Config, devices=None) -> dict:
 
     best = {'val_f1': -1.0, 'params': None}
     start_trial = 0
-    for trial, params, val_f1 in _load_completed(results_path):
-        search.observe(params, val_f1)
-        if val_f1 > best['val_f1']:
-            best = {'val_f1': val_f1, 'params': params, 'trial': trial}
+    for trial, params, val_f1, status in _load_completed(results_path):
+        # failed trials keep their index (not retried, W&B semantics) but do
+        # NOT feed the Bayesian model — their 0.0 is a crash artifact, not a
+        # measurement, and would permanently bias the GP against the region
+        if status == 'ok':
+            search.observe(params, val_f1)
+            if val_f1 > best['val_f1']:
+                best = {'val_f1': val_f1, 'params': params, 'trial': trial}
         start_trial = max(start_trial, trial + 1)
     if start_trial:
         log.info('resuming sweep at trial %d (best so far %.4f)',
@@ -102,8 +108,8 @@ def run_sweep(cfg: Config, devices=None) -> dict:
     # — a new sweep starts informed instead of cold
     warm = cfg.get('warm_start')
     if warm:
-        rows = _load_completed(str(warm))
-        for _trial, params, val_f1 in rows:
+        rows = [r for r in _load_completed(str(warm)) if r[3] == 'ok']
+        for _trial, params, val_f1, _status in rows:
             search.observe(params, val_f1)
         log.info('warm-started from %s (%d observations)', warm, len(rows))
 
@@ -144,7 +150,8 @@ def run_sweep(cfg: Config, devices=None) -> dict:
             status, val_f1, val_loss, epochs_done = 'failed', 0.0, float('inf'), 0
 
         with lock:
-            search.observe(params, val_f1)
+            if status == 'ok':  # a crash is not a measurement (see resume)
+                search.observe(params, val_f1)
             if val_f1 > best['val_f1']:
                 best = {'val_f1': val_f1, 'params': params, 'trial': trial}
             with open(results_path, 'a', newline='') as f:

@@ -62,6 +62,17 @@ def main() -> None:
     parser.add_argument('--augment', action='store_true')
     parser.add_argument('--models', nargs='*', default=None,
                         help='subset of model dir names (LM FC_LC VV)')
+    parser.add_argument('--remat', action='store_true',
+                        help='per-block activation remat (needed at 896px)')
+    parser.add_argument('--adjusted-fc', action='store_true',
+                        help='FC_LC with Adam lr 1e-3: the published recipe '
+                             '(RMSprop 1e-4, tuned for ImageNet-pretrained '
+                             'encoders) cannot learn the thin cap from '
+                             'scratch at synthetic scale — see '
+                             'eval/synth/README.md')
+    parser.add_argument('--input-size', type=int, default=None,
+                        help='model input size (default: --size, the frame '
+                             'resolution of the generated fold)')
     args = parser.parse_args()
 
     from octseg.core.config import Config
@@ -78,19 +89,22 @@ def main() -> None:
     for name, classes, arch, encoder, optimizer, lr in WINNING_CONFIGS:
         if args.models and name not in args.models:
             continue
+        if name == 'FC_LC' and args.adjusted_fc:
+            optimizer, lr = 'Adam', 1e-3
         model_dir = os.path.join(args.out, name)
         cfg = Config({
             'data_dir': fold,
             'classes': classes,
             'architecture': arch,
             'encoder': encoder,
-            'input_size': args.size,
+            'input_size': args.input_size or args.size,
             'batch_size': args.batch_size,
             'optimizer': optimizer,
             'lr': lr,
             'epochs': args.epochs,
             'use_augmentation': bool(args.augment),
             'bf16': bool(args.bf16),
+            'remat': bool(args.remat),
             'native_loader': False,
             'resume_interval': 10,  # full-state fetches are slow on the relay
             'resume': True,  # continue partially-trained models (e.g. a rerun
