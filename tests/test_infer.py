@@ -164,3 +164,24 @@ def test_predict_entry_point(models_dir, tmp_path, reference_dir):
     assert len(outs) == 6  # 3 inputs × (mask + overlay)
     overlay = np.array(Image.open(os.path.join(save_dir, '001_1_007_overlay.png')))
     assert overlay.shape == (256, 256, 3)
+
+
+def test_block_sizing_halves_under_tight_budget(tmp_path, monkeypatch):
+    """_block_for must halve the block until the program fits the HBM budget
+    (per XLA memory_analysis) and floor at the mesh size."""
+    from octseg.infer.engine import InferenceEngine
+    from octseg.train.checkpoint import initialize_model_dir
+
+    initialize_model_dir(str(tmp_path / 'LM'), ['Lumen'],
+                         arch='Unet', encoder='resnet18', input_size=64)
+    eng = InferenceEngine(str(tmp_path), ['Lumen'], block_size=64)
+    monkeypatch.setattr(eng, 'HBM_BUDGET', 1)  # nothing fits (this engine)
+    fn, variables, _cfg = eng._forward_fn('LM', 64, 64)
+    bs, _runner = eng._block_for('LM', fn, variables, (64, 64, 64, 3),
+                                 'float32')
+    assert bs == eng.n_devices  # floored at the mesh size
+
+    eng2 = InferenceEngine(str(tmp_path), ['Lumen'], block_size=64)
+    fn2, v2, _ = eng2._forward_fn('LM', 64, 64)
+    bs2, _ = eng2._block_for('LM', fn2, v2, (64, 64, 64, 3), 'float32')
+    assert bs2 == eng2.block_size  # generous budget: full block

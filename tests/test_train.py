@@ -252,3 +252,23 @@ def test_concurrent_folds_on_submeshes(tmp_path):
         assert (root / f'fold_{kf}' / 'weights.ckpt').exists()
     df = pd.read_csv(root / 'folds_summary.csv')
     assert sorted(df['fold']) == [1, 2]
+
+
+def test_resume_interval_gates_resume_ckpt(fold_dir, tmp_path):
+    """resume_interval=3 with 2 epochs: no resume.ckpt until the final epoch
+    (always written), and weights.ckpt still tracks best val loss."""
+    from octseg.train.train import train_model
+
+    cfg = Config(
+        data_dir=fold_dir, classes=['Lumen'], architecture='Unet',
+        encoder='resnet18', optimizer='Adam', lr=1e-3, weight_decay=0.0,
+        input_size=64, batch_size=4, epochs=2, use_augmentation=False,
+        save_dir=str(tmp_path / 'models'), model_name='ri', seed=11,
+        native_loader=False, resume_interval=3,
+    )
+    train_model(cfg)
+    d = tmp_path / 'models' / 'ri'
+    assert (d / 'weights.ckpt').exists()
+    # epoch 2 == cfg.epochs -> final-epoch resume save fires even though
+    # 2 % 3 != 0
+    assert (d / 'resume.ckpt').exists()
