@@ -250,20 +250,31 @@ def make_handler(state: AppState):
                 payload = frame_contours(data, int(q.get('num', 0)))
                 return self._send(json.dumps(payload).encode(), 'application/json')
             if url.path == '/base_frame.png':
-                imgs = sorted(glob(os.path.join(data['work_dir'], 'img', '*.png')))
+                # eviction race: put() may rmtree this session's work_dir
+                # while we hold the session dict — answer 410, don't crash
+                img_dir = os.path.join(data['work_dir'], 'img')
+                if not os.path.isdir(img_dir):
+                    return self._send(b'session evicted', 'text/plain', 410)
+                imgs = sorted(glob(os.path.join(img_dir, '*.png')))
                 num = int(q.get('num', 0))
                 if not imgs or num < 0 or num >= len(imgs):
                     return self._send(b'no such frame', 'text/plain', 404)
-                with open(imgs[num], 'rb') as f:
-                    return self._send(f.read(), 'image/png')
+                try:
+                    with open(imgs[num], 'rb') as f:
+                        return self._send(f.read(), 'image/png')
+                except OSError:
+                    return self._send(b'session evicted', 'text/plain', 410)
             if url.path == '/frame.png':  # server-rendered fallback viewer
-                png = figures.get_img_show(
-                    data,
-                    img_dir=os.path.join(data['work_dir'], 'img'),
-                    img_num=int(q.get('num', 0)),
-                    classes_vis=classes,
-                    opacity=float(q.get('opacity', 20)),
-                )
+                try:
+                    png = figures.get_img_show(
+                        data,
+                        img_dir=os.path.join(data['work_dir'], 'img'),
+                        img_num=int(q.get('num', 0)),
+                        classes_vis=classes,
+                        opacity=float(q.get('opacity', 20)),
+                    )
+                except OSError:
+                    return self._send(b'session evicted', 'text/plain', 410)
                 return self._send(png, 'image/png')
             if url.path == '/metadata.json':
                 slim = {k: v for k, v in data.items() if k != 'objects'}

@@ -230,9 +230,11 @@ def augment_pair(img: jnp.ndarray, mask: jnp.ndarray, key: jax.Array
 
 
 def _use_pallas_warp() -> bool:
-    """Compiled Pallas path on TPU-like backends; gather path on CPU (tests
-    monkeypatch this to drive the kernel in interpret mode on the CPU mesh)."""
-    return jax.devices()[0].platform.lower() != 'cpu'
+    """Compiled Pallas path only on TPU (the kernel uses pltpu memory spaces
+    and TPU grid semantics — on GPU it would fail at trace time, so GPU takes
+    the portable gather path). Tests monkeypatch this to drive the kernel in
+    interpret mode on the CPU mesh."""
+    return jax.devices()[0].platform.lower() == 'tpu'
 
 
 # interpret-mode escape hatch for CPU-mesh tests of the pallas path

@@ -152,8 +152,8 @@ def run_sweep(cfg: Config, devices=None) -> dict:
         with lock:
             if status == 'ok':  # a crash is not a measurement (see resume)
                 search.observe(params, val_f1)
-            if val_f1 > best['val_f1']:
-                best = {'val_f1': val_f1, 'params': params, 'trial': trial}
+                if val_f1 > best['val_f1']:
+                    best = {'val_f1': val_f1, 'params': params, 'trial': trial}
             with open(results_path, 'a', newline='') as f:
                 writer = csv.DictWriter(f, fieldnames=RESULT_FIELDS)
                 if write_header:

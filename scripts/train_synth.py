@@ -115,12 +115,21 @@ def main() -> None:
         })
         t0 = time.time()
         print(f'=== {name}: {arch}/{encoder} @{args.size} ===', flush=True)
-        if _epochs_done(model_dir) >= args.epochs:
+        skipped = _epochs_done(model_dir) >= args.epochs
+        if skipped:
             print(f'{name}: already trained to {args.epochs} epochs — skipping '
                   'to evaluation', flush=True)
         else:
             train_model(cfg, model_dir=model_dir)
         elapsed = time.time() - t0
+        if skipped:
+            # a skipped (already-trained) rerun must not overwrite the real
+            # training time with ~0 — keep the previous summary's value
+            prev_path = os.path.join(args.out, 'summary.json')
+            if os.path.exists(prev_path):
+                with open(prev_path) as f:
+                    prev = json.load(f).get(name, {})
+                elapsed = prev.get('train_seconds', elapsed)
         scores = {}
         for split in ('train', 'test'):
             r = evaluate_model(model_dir, fold, split=split)
