@@ -26,17 +26,19 @@ from octseg.models.encoders import (
     get_preprocessing_params,
 )
 
-# arch key -> (decoder class, encoder output_stride)
+# arch key -> (decoder class, encoder output_stride, head kernel size).
+# Head kernels are each smp model's SegmentationHead kernel_size: 3 for
+# Unet/Unet++/MAnet/PSPNet/PAN, 1 for Linknet/FPN/DeepLabV3/DeepLabV3+.
 _ARCHS = {
-    'unet': (UnetDecoder, 32),
-    'unetplusplus': (UnetPlusPlusDecoder, 32),
-    'linknet': (LinkNetDecoder, 32),
-    'fpn': (FPNDecoder, 32),
-    'pspnet': (PSPDecoder, 32),
-    'pan': (PANDecoder, 16),
-    'manet': (MAnetDecoder, 32),
-    'deeplabv3': (DeepLabV3Decoder, 8),
-    'deeplabv3plus': (DeepLabV3PlusDecoder, 16),
+    'unet': (UnetDecoder, 32, 3),
+    'unetplusplus': (UnetPlusPlusDecoder, 32, 3),
+    'linknet': (LinkNetDecoder, 32, 1),
+    'fpn': (FPNDecoder, 32, 1),
+    'pspnet': (PSPDecoder, 32, 3),
+    'pan': (PANDecoder, 16, 3),
+    'manet': (MAnetDecoder, 32, 3),
+    'deeplabv3': (DeepLabV3Decoder, 8, 1),
+    'deeplabv3plus': (DeepLabV3PlusDecoder, 16, 1),
 }
 
 SUPPORTED_ARCHITECTURES = [
@@ -74,7 +76,7 @@ def create_model(
     if in_channels != 3:
         raise NotImplementedError('Only 3-channel input is supported (ref parity)')
     key = normalize_arch(arch)
-    decoder_cls, output_stride = _ARCHS[key]
+    decoder_cls, output_stride, head_kernel = _ARCHS[key]
     encoder = create_encoder(encoder_name, output_stride=output_stride, dtype=dtype)
     decoder = decoder_cls(dtype=dtype, **kwargs)
     return SegmentationModel(
@@ -82,7 +84,7 @@ def create_model(
         decoder=decoder,
         classes=classes,
         head_upsampling=decoder.upsampling,
-        head_kernel=1 if key == 'linknet' else 3,  # smp linknet head is 1x1
+        head_kernel=head_kernel,
         dtype=dtype,
     )
 

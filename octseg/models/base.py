@@ -13,13 +13,13 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from octseg.models.common import upsample
+from octseg.models.common import resize_bilinear_torch
 
 
 class SegmentationHead(nn.Module):
     classes: int
     upsampling: int = 1
-    kernel: int = 3  # SMP default; Linknet uses 1 (smp linknet/model.py)
+    kernel: int = 3  # SMP default; Linknet/FPN/DeepLab use 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -30,7 +30,12 @@ class SegmentationHead(nn.Module):
             dtype=self.dtype,
         )(x)
         if self.upsampling > 1:
-            x = upsample(x, self.upsampling, method='bilinear')
+            # SMP SegmentationHead upsamples with nn.UpsamplingBilinear2d,
+            # i.e. align_corners=True — not jax.image.resize's half-pixel
+            x = resize_bilinear_torch(
+                x, (x.shape[1] * self.upsampling, x.shape[2] * self.upsampling),
+                align_corners=True,
+            )
         return x.astype(jnp.float32)  # logits always fp32 for stable loss
 
 

@@ -138,3 +138,68 @@ class Attention2D(nn.Module):
 def fixed_padding_pool(x: jnp.ndarray, window: int = 3, stride: int = 2) -> jnp.ndarray:
     """Max pool with SAME padding."""
     return nn.max_pool(x, (window, window), strides=(stride, stride), padding='SAME')
+
+
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool):
+    """(out_size, in_size) bilinear interpolation matrix with torch
+    F.interpolate semantics (host-side numpy — shapes are static under jit).
+
+    align_corners=True:  src = i * (in-1)/(out-1)      (UpsamplingBilinear2d)
+    align_corners=False: src = (i + 0.5) * in/out - 0.5, clamped to >= 0
+    """
+    import numpy as np
+
+    m = np.zeros((out_size, in_size), np.float32)
+    if in_size == 1:
+        m[:, 0] = 1.0
+        return m
+    for i in range(out_size):
+        if align_corners:
+            src = i * (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        else:
+            src = max((i + 0.5) * in_size / out_size - 0.5, 0.0)
+        lo = min(int(src), in_size - 1)
+        hi = min(lo + 1, in_size - 1)
+        frac = src - lo
+        m[i, lo] += 1.0 - frac
+        m[i, hi] += frac
+    return m
+
+
+def resize_bilinear_torch(x: jnp.ndarray, size: Tuple[int, int],
+                          align_corners: bool = True) -> jnp.ndarray:
+    """Exact torch-bilinear NHWC resize as two small matmuls (MXU-friendly:
+    no gathers; HIGHEST precision so interpolation weights are not bf16-
+    quantized). Covers the SMP decoder conventions jax.image.resize cannot:
+    nn.UpsamplingBilinear2d / interpolate(align_corners=True) and torch's
+    non-antialiased align_corners=False."""
+    n, h, w, c = x.shape
+    oh, ow = int(size[0]), int(size[1])
+    if (h, w) == (oh, ow):
+        return x
+    dt = x.dtype
+    mh = jnp.asarray(_interp_matrix(h, oh, align_corners))
+    mw = jnp.asarray(_interp_matrix(w, ow, align_corners))
+    y = jnp.einsum('oh,nhwc->nowc', mh, x.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum('pw,nhwc->nhpc', mw, y,
+                   precision=jax.lax.Precision.HIGHEST)
+    return y.astype(dt)
+
+
+class ConvGNAct(nn.Module):
+    """Conv → GroupNorm → activation (SMP FPN's Conv3x3GNReLU block)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    groups: int = 32
+    act: Optional[str] = 'relu'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = tuple((k // 2, k // 2) for k in self.kernel_size)
+        x = nn.Conv(self.features, self.kernel_size, padding=pad,
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(x)
+        return get_activation(self.act)(x)

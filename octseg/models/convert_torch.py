@@ -236,10 +236,118 @@ def _convert_linknet_decoder(b: _Builder, prefix: str, scope: str) -> None:
         b.conv_bn(f'{t}.2.0', f'{t}.2.1', f'{f}/ConvBNAct_1')
 
 
+def _convert_fpn_decoder(b: _Builder, prefix: str, scope: str) -> None:
+    """smp FPNDecoder: p5 lateral + p4/p3/p2 FPNBlocks (skip_conv) + four
+    SegmentationBlocks of Conv3x3+GroupNorm(32)+ReLU (n_upsamples 3/2/1/0)."""
+    b.conv(f'{prefix}p5', f'{scope}/p5')
+    for lvl in (4, 3, 2):
+        b.conv(f'{prefix}p{lvl}.skip_conv', f'{scope}/p{lvl}_skip')
+    for i, n_up in enumerate((3, 2, 1, 0)):
+        for j in range(max(n_up, 1)):
+            t = f'{prefix}seg_blocks.{i}.block.{j}.block'
+            f = f'{scope}/seg_{i}_{j}'
+            b.conv(f'{t}.0', f'{f}/Conv_0')
+            # GroupNorm: torch weight/bias -> flax scale/bias (params)
+            path = tuple(f'{f}/GroupNorm_0'.split('/'))
+            b.params[path + ('scale',)] = b.take(f'{t}.1.weight')
+            b.params[path + ('bias',)] = b.take(f'{t}.1.bias')
+
+
+def _convert_psp_decoder(b: _Builder, prefix: str, scope: str) -> None:
+    """smp PSPDecoder: 4 pool branches (the 1-bin one BN-less) + 1x1 conv."""
+    for i in range(4):
+        t = f'{prefix}psp.blocks.{i}.pool.1'
+        f = f'{scope}/psp_{i}'
+        if i == 0:  # pool_size 1: Conv2dReLU without BN, conv has bias
+            b.conv(f'{t}.0', f'{f}/Conv_0', bias=True)
+        else:
+            b.conv_bn(f'{t}.0', f'{t}.1', f)
+    b.conv_bn(f'{prefix}conv.0', f'{prefix}conv.1', f'{scope}/conv')
+
+
+# (torch ConvBnRelu path, flax module name) pairs inside the PAN FPA block
+_PAN_FPA_CONVS = [
+    ('branch1.1', 'branch1'), ('mid.0', 'mid'), ('down1.1', 'down1'),
+    ('down2.1', 'down2'), ('down3.1', 'down3_0'), ('down3.2', 'down3_1'),
+    ('conv2', 'conv2'), ('conv1', 'conv1'),
+]
+
+
+def _convert_pan_decoder(b: _Builder, prefix: str, scope: str) -> None:
+    """smp PANDecoder: FPA (global/mid/1-channel pyramid ConvBnRelu blocks)
+    + gau3/gau2/gau1 (pooled gate conv1, skip conv2)."""
+    for tpath, fname in _PAN_FPA_CONVS:
+        t = f'{prefix}fpa.{tpath}'
+        b.conv_bn(f'{t}.conv', f'{t}.bn', f'{scope}/fpa/{fname}')
+    for g in (3, 2, 1):
+        t = f'{prefix}gau{g}'
+        b.conv_bn(f'{t}.conv1.1.conv', f'{t}.conv1.1.bn',
+                  f'{scope}/gau{g}/conv1')
+        b.conv_bn(f'{t}.conv2.conv', f'{t}.conv2.bn', f'{scope}/gau{g}/conv2')
+
+
+def _convert_manet_decoder(b: _Builder, prefix: str, scope: str) -> None:
+    """smp MAnetDecoder: PAB center + 4 MFAB + 1 plain DecoderBlock."""
+    for tname, fname in (('top_conv', 'top'), ('center_conv', 'center'),
+                         ('bottom_conv', 'bottom'), ('out_conv', 'out')):
+        b.conv(f'{prefix}center.{tname}', f'{scope}/center/{fname}')
+    for i in range(4):  # MFAB levels (encoder skips exist)
+        t = f'{prefix}blocks.{i}'
+        f = f'{scope}/block{i}'
+        b.conv_bn(f'{t}.hl_conv.0.0', f'{t}.hl_conv.0.1', f'{f}/hl_conv_0')
+        b.conv_bn(f'{t}.hl_conv.1.0', f'{t}.hl_conv.1.1', f'{f}/hl_conv_1')
+        for se in ('hl', 'll'):
+            b.conv(f'{t}.SE_{se}.1', f'{f}/se_{se}_fc1')
+            b.conv(f'{t}.SE_{se}.3', f'{f}/se_{se}_fc2')
+        b.conv_bn(f'{t}.conv1.0', f'{t}.conv1.1', f'{f}/conv1')
+        b.conv_bn(f'{t}.conv2.0', f'{t}.conv2.1', f'{f}/conv2')
+    t = f'{prefix}blocks.4'  # final skip-less DecoderBlock
+    b.conv_bn(f'{t}.conv1.0', f'{t}.conv1.1', f'{scope}/block4/conv1')
+    b.conv_bn(f'{t}.conv2.0', f'{t}.conv2.1', f'{scope}/block4/conv2')
+
+
+def _convert_aspp(b: _Builder, t: str, f: str, separable: bool) -> None:
+    """smp ASPP under torch prefix ``t`` -> flax scope ``f`` (convs0..convs4
+    + project). Separable branches are SeparableConv2d(dw, pw) + BN."""
+    b.conv_bn(f'{t}.convs.0.0', f'{t}.convs.0.1', f'{f}/convs0')
+    for i in (1, 2, 3):
+        if separable:
+            b.conv(f'{t}.convs.{i}.0.0', f'{f}/convs{i}/dw')
+            b.conv_bn(f'{t}.convs.{i}.0.1', f'{t}.convs.{i}.1',
+                      f'{f}/convs{i}/pw')
+        else:
+            b.conv_bn(f'{t}.convs.{i}.0', f'{t}.convs.{i}.1', f'{f}/convs{i}')
+    b.conv_bn(f'{t}.convs.4.1', f'{t}.convs.4.2', f'{f}/convs4')
+    b.conv_bn(f'{t}.project.0', f'{t}.project.1', f'{f}/project')
+
+
+def _convert_deeplabv3_decoder(b: _Builder, prefix: str, scope: str) -> None:
+    """smp DeepLabV3Decoder: Sequential(ASPP, conv3x3, BN, ReLU)."""
+    _convert_aspp(b, f'{prefix}0', f'{scope}/aspp', separable=False)
+    b.conv_bn(f'{prefix}1', f'{prefix}2', f'{scope}/conv')
+
+
+def _convert_deeplabv3plus_decoder(b: _Builder, prefix: str, scope: str) -> None:
+    """smp DeepLabV3PlusDecoder: aspp Sequential(ASPP, SeparableConv, BN,
+    ReLU) + block1 (low-level 1x1) + block2 (separable fuse)."""
+    _convert_aspp(b, f'{prefix}aspp.0', f'{scope}/aspp', separable=True)
+    b.conv(f'{prefix}aspp.1.0', f'{scope}/aspp_sep/dw')
+    b.conv_bn(f'{prefix}aspp.1.1', f'{prefix}aspp.2', f'{scope}/aspp_sep/pw')
+    b.conv_bn(f'{prefix}block1.0', f'{prefix}block1.1', f'{scope}/block1')
+    b.conv(f'{prefix}block2.0.0', f'{scope}/block2/dw')
+    b.conv_bn(f'{prefix}block2.0.1', f'{prefix}block2.1', f'{scope}/block2/pw')
+
+
 _DECODER_CONVERTERS = {
     'unet': _convert_unet_decoder,
     'unetplusplus': _convert_unetpp_decoder,
     'linknet': _convert_linknet_decoder,
+    'fpn': _convert_fpn_decoder,
+    'pspnet': _convert_psp_decoder,
+    'pan': _convert_pan_decoder,
+    'manet': _convert_manet_decoder,
+    'deeplabv3': _convert_deeplabv3_decoder,
+    'deeplabv3plus': _convert_deeplabv3plus_decoder,
 }
 
 

@@ -1,7 +1,16 @@
-"""PSPNet decoder: pyramid scene parsing pooling over the 1/8 feature map.
+"""PSPNet decoder — SMP-channel-exact.
 
-Capability parity target: SMP PSPNet (encoder_depth=3, psp_out_channels=512,
-upsampling=8 — reference search space configs/tune.yaml:16).
+Mirrors smp.decoders.pspnet.decoder.PSPDecoder as the reference creates it
+via smp.create_model('PSPNet', ...) with all defaults (reference:
+src/models/smp/model.py:38-44; search space configs/tune.yaml:10-19):
+encoder_depth=3 (the decoder consumes the 1/8 feature map; the deeper
+encoder stages exist in the checkpoint but are unused), PSPModule with bins
+(1, 2, 3, 6) where each branch has in_channels//4 channels — Conv1x1+BN+ReLU
+except the 1-bin branch which drops BN (BatchNorm over a 1x1 map; SMP
+disables it) and so has a conv bias — bilinear align_corners=True upsample
+back, concat order [branch1, branch2, branch3, branch6, x], then
+Conv1x1(2*in_channels -> 512)+BN+ReLU and spatial Dropout2d(0.2). Output at
+1/8; the model head is 3x3 with UpsamplingBilinear2d(8).
 """
 
 from __future__ import annotations
@@ -11,7 +20,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from octseg.models.common import ConvBNAct, resize_to
+from octseg.models.common import ConvBNAct, resize_bilinear_torch
 
 
 def adaptive_avg_pool(x: jnp.ndarray, bins: int) -> jnp.ndarray:
@@ -28,35 +37,32 @@ def adaptive_avg_pool(x: jnp.ndarray, bins: int) -> jnp.ndarray:
     return jnp.stack(rows, axis=1)  # (n, bins, bins, c)
 
 
-class PSPModule(nn.Module):
-    out_features: int
-    bins: Sequence[int] = (1, 2, 3, 6)
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        n, h, w, c = x.shape
-        branch_ch = self.out_features // len(self.bins)
-        branches = [x]
-        for b in self.bins:
-            p = adaptive_avg_pool(x, b)
-            p = ConvBNAct(branch_ch, (1, 1), dtype=self.dtype)(p, train)
-            p = resize_to(p, (h, w), method='bilinear')
-            branches.append(p)
-        return jnp.concatenate(branches, axis=-1)
-
-
 class PSPDecoder(nn.Module):
     psp_out_channels: int = 512
+    bins: Sequence[int] = (1, 2, 3, 6)
     dropout: float = 0.2
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, features, train: bool = False):
         x = features[3]  # 1/8 (SMP PSPNet uses encoder_depth=3)
-        x = PSPModule(self.psp_out_channels, dtype=self.dtype)(x, train)
-        x = ConvBNAct(self.psp_out_channels, (1, 1), dtype=self.dtype)(x, train)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        n, h, w, c = x.shape
+        branch_ch = c // len(self.bins)
+        branches = []
+        for bi, b in enumerate(self.bins):
+            p = adaptive_avg_pool(x, b)
+            # SMP disables BN on the 1-bin branch (1x1 spatial map), so that
+            # branch's conv carries a bias
+            p = ConvBNAct(branch_ch, (1, 1), use_bn=(b != 1),
+                          name=f'psp_{bi}', dtype=self.dtype)(p, train)
+            p = resize_bilinear_torch(p, (h, w), align_corners=True)
+            branches.append(p)
+        x = jnp.concatenate(branches + [x], axis=-1)
+        x = ConvBNAct(self.psp_out_channels, (1, 1),
+                      name='conv', dtype=self.dtype)(x, train)
+        # torch Dropout2d: whole-channel dropout
+        x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                       deterministic=not train)(x)
         return x  # 1/8 resolution
 
     @property

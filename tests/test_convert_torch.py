@@ -45,19 +45,29 @@ def _forward_pair(arch, encoder, classes=2, size=64, seed=0):
 
 
 @pytest.mark.parametrize(
-    'arch,encoder',
+    'arch,encoder,size',
     [
-        ('Unet', 'resnet18'),
-        ('Unet', 'resnet50'),
-        ('UnetPlusPlus', 'resnet18'),
-        ('Linknet', 'resnet18'),
-        ('Unet', 'timm-regnetx_002'),
-        ('Unet', 'efficientnet-b0'),
-        ('Linknet', 'efficientnet-b0'),
+        ('Unet', 'resnet18', 64),
+        ('Unet', 'resnet50', 64),
+        ('UnetPlusPlus', 'resnet18', 64),
+        ('Linknet', 'resnet18', 64),
+        ('Unet', 'timm-regnetx_002', 64),
+        ('Unet', 'efficientnet-b0', 64),
+        ('Linknet', 'efficientnet-b0', 64),
+        # the 6 decoders made SMP-channel-exact in round 3 (VERDICT item 2)
+        ('FPN', 'resnet18', 64),
+        ('PSPNet', 'resnet18', 64),
+        ('PAN', 'resnet18', 128),  # os=16 FPA needs a >=8px deepest map
+        ('MAnet', 'resnet18', 64),
+        ('DeepLabV3', 'resnet18', 64),
+        ('DeepLabV3Plus', 'resnet18', 64),
+        # cross-family coverage for the new decoders
+        ('FPN', 'efficientnet-b0', 64),
+        ('MAnet', 'timm-regnetx_002', 64),
     ],
 )
-def test_forward_parity(arch, encoder):
-    want, got = _forward_pair(arch, encoder)
+def test_forward_parity(arch, encoder, size):
+    want, got = _forward_pair(arch, encoder, size=size)
     assert got.shape == want.shape
     err = np.abs(got - want).max()
     assert err < 2e-3, f'{arch}/{encoder}: max abs err {err}'

@@ -17,11 +17,14 @@ RNGS = {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)}
 
 @pytest.mark.parametrize('arch', SUPPORTED_ARCHITECTURES)
 def test_arch_output_shape(arch):
-    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    # SMP PAN needs a >=8px deepest map (its FPA maxpool pyramid collapses
+    # below 128px input at output_stride 16 — same constraint in torch smp)
+    size = 128 if arch == 'PAN' else 64
+    x = jnp.zeros((2, size, size, 3), jnp.float32)
     model = create_model(arch, 'resnet18', classes=4)
     shapes = jax.eval_shape(functools.partial(model.init, train=False), RNGS, x)
     out = jax.eval_shape(functools.partial(model.apply, train=False), shapes, x)
-    assert out.shape == (2, 64, 64, 4)
+    assert out.shape == (2, size, size, 4)
     assert out.dtype == jnp.float32
 
 

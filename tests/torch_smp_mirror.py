@@ -433,6 +433,385 @@ class LinknetDecoder(nn.Module):
         return x
 
 
+# ------------------- SMP decoders: FPN / PSPNet / PAN ----------------------
+
+class Conv3x3GNReLU(nn.Module):
+    """smp fpn Conv3x3GNReLU: block = Sequential(conv(no bias), GN(32), ReLU);
+    nearest x2 upsample AFTER the block when upsample=True."""
+
+    def __init__(self, in_ch, out_ch, upsample=False):
+        super().__init__()
+        self.upsample = upsample
+        self.block = nn.Sequential(
+            nn.Conv2d(in_ch, out_ch, 3, stride=1, padding=1, bias=False),
+            nn.GroupNorm(32, out_ch),
+            nn.ReLU(inplace=True),
+        )
+
+    def forward(self, x):
+        x = self.block(x)
+        if self.upsample:
+            x = F.interpolate(x, scale_factor=2, mode='nearest')
+        return x
+
+
+class FPNBlock(nn.Module):
+    def __init__(self, pyramid_channels, skip_channels):
+        super().__init__()
+        self.skip_conv = nn.Conv2d(skip_channels, pyramid_channels, kernel_size=1)
+
+    def forward(self, x, skip):
+        x = F.interpolate(x, scale_factor=2, mode='nearest')
+        return x + self.skip_conv(skip)
+
+
+class SegmentationBlock(nn.Module):
+    def __init__(self, in_ch, out_ch, n_upsamples=0):
+        super().__init__()
+        blocks = [Conv3x3GNReLU(in_ch, out_ch, upsample=bool(n_upsamples))]
+        for _ in range(1, n_upsamples):
+            blocks.append(Conv3x3GNReLU(out_ch, out_ch, upsample=True))
+        self.block = nn.Sequential(*blocks)
+
+    def forward(self, x):
+        return self.block(x)
+
+
+class FPNDecoder(nn.Module):
+    def __init__(self, encoder_channels, pyramid_channels=256,
+                 segmentation_channels=128, dropout=0.2):
+        super().__init__()
+        enc = encoder_channels[::-1][:4]  # c5, c4, c3, c2
+        self.p5 = nn.Conv2d(enc[0], pyramid_channels, kernel_size=1)
+        self.p4 = FPNBlock(pyramid_channels, enc[1])
+        self.p3 = FPNBlock(pyramid_channels, enc[2])
+        self.p2 = FPNBlock(pyramid_channels, enc[3])
+        self.seg_blocks = nn.ModuleList(
+            [SegmentationBlock(pyramid_channels, segmentation_channels, n)
+             for n in [3, 2, 1, 0]]
+        )
+        self.dropout = nn.Dropout2d(p=dropout, inplace=True)
+
+    def forward(self, features):
+        c2, c3, c4, c5 = features[-4:]
+        p5 = self.p5(c5)
+        p4 = self.p4(p5, c4)
+        p3 = self.p3(p4, c3)
+        p2 = self.p2(p3, c2)
+        pyr = [b(p) for b, p in zip(self.seg_blocks, [p5, p4, p3, p2])]
+        return self.dropout(sum(pyr))
+
+
+def Conv2dReLUNoBN(in_ch, out_ch, kernel, padding):
+    return nn.Sequential(
+        nn.Conv2d(in_ch, out_ch, kernel, padding=padding, bias=True),
+        nn.ReLU(inplace=True),
+    )
+
+
+class PSPBlock(nn.Module):
+    def __init__(self, in_ch, out_ch, pool_size):
+        super().__init__()
+        use_bn = pool_size != 1  # smp: no BN over a 1x1 map
+        conv = (Conv2dReLU(in_ch, out_ch, 1, 0) if use_bn
+                else Conv2dReLUNoBN(in_ch, out_ch, 1, 0))
+        self.pool = nn.Sequential(nn.AdaptiveAvgPool2d(pool_size), conv)
+
+    def forward(self, x):
+        h, w = x.shape[2:]
+        y = self.pool(x)
+        return F.interpolate(y, size=(h, w), mode='bilinear', align_corners=True)
+
+
+class PSPDecoder(nn.Module):
+    """smp PSPDecoder: encoder_depth=3 — consumes the 1/8 map."""
+
+    def __init__(self, encoder_channels, out_channels=512, dropout=0.2):
+        super().__init__()
+        in_ch = encoder_channels[3]  # 1/8 feature channels
+        self.psp = nn.Module()
+        self.psp.blocks = nn.ModuleList(
+            [PSPBlock(in_ch, in_ch // 4, size) for size in (1, 2, 3, 6)]
+        )
+        self.conv = Conv2dReLU(in_ch * 2, out_channels, 1, 0)
+        self.dropout = nn.Dropout2d(p=dropout)
+
+    def forward(self, features):
+        x = features[3]
+        xs = [block(x) for block in self.psp.blocks] + [x]
+        x = torch.cat(xs, dim=1)
+        return self.dropout(self.conv(x))
+
+
+class ConvBnRelu(nn.Module):
+    """smp pan ConvBnRelu: child names conv / bn; conv has bias."""
+
+    def __init__(self, in_ch, out_ch, kernel_size, stride=1, padding=0,
+                 add_relu=True):
+        super().__init__()
+        self.conv = nn.Conv2d(in_ch, out_ch, kernel_size, stride, padding,
+                              bias=True)
+        self.bn = nn.BatchNorm2d(out_ch)
+        self.add_relu = add_relu
+
+    def forward(self, x):
+        x = self.bn(self.conv(x))
+        return F.relu(x) if self.add_relu else x
+
+
+class FPABlockT(nn.Module):
+    def __init__(self, in_channels, out_channels):
+        super().__init__()
+        self.branch1 = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1), ConvBnRelu(in_channels, out_channels, 1)
+        )
+        self.mid = nn.Sequential(ConvBnRelu(in_channels, out_channels, 1))
+        self.down1 = nn.Sequential(
+            nn.MaxPool2d(2, 2), ConvBnRelu(in_channels, 1, 7, padding=3)
+        )
+        self.down2 = nn.Sequential(
+            nn.MaxPool2d(2, 2), ConvBnRelu(1, 1, 5, padding=2)
+        )
+        self.down3 = nn.Sequential(
+            nn.MaxPool2d(2, 2),
+            ConvBnRelu(1, 1, 3, padding=1),
+            ConvBnRelu(1, 1, 3, padding=1),
+        )
+        self.conv2 = ConvBnRelu(1, 1, 5, padding=2)
+        self.conv1 = ConvBnRelu(1, 1, 7, padding=3)
+
+    def forward(self, x):
+        h, w = x.shape[2:]
+        up = dict(mode='bilinear', align_corners=True)
+        b1 = F.interpolate(self.branch1(x), size=(h, w), **up)
+        mid = self.mid(x)
+        x1 = self.down1(x)
+        x2 = self.down2(x1)
+        x3 = self.down3(x2)
+        x3 = F.interpolate(x3, size=(h // 4, w // 4), **up)
+        x2 = self.conv2(x2)
+        y = F.interpolate(x2 + x3, size=(h // 2, w // 2), **up)
+        x1 = self.conv1(x1)
+        y = F.interpolate(y + x1, size=(h, w), **up)
+        return y * mid + b1
+
+
+class GAUBlockT(nn.Module):
+    def __init__(self, in_channels, out_channels):
+        super().__init__()
+        self.conv1 = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1),
+            ConvBnRelu(out_channels, out_channels, 1, add_relu=False),
+            nn.Sigmoid(),
+        )
+        self.conv2 = ConvBnRelu(in_channels, out_channels, 3, padding=1)
+
+    def forward(self, x, y):
+        """x: low level, y: high level (smp arg order)."""
+        h, w = x.shape[2:]
+        y_up = F.interpolate(y, size=(h, w), mode='bilinear', align_corners=True)
+        return y_up + self.conv2(x) * self.conv1(y)
+
+
+class PANDecoder(nn.Module):
+    def __init__(self, encoder_channels, decoder_channels=32):
+        super().__init__()
+        self.fpa = FPABlockT(encoder_channels[-1], decoder_channels)
+        self.gau3 = GAUBlockT(encoder_channels[-2], decoder_channels)
+        self.gau2 = GAUBlockT(encoder_channels[-3], decoder_channels)
+        self.gau1 = GAUBlockT(encoder_channels[-4], decoder_channels)
+
+    def forward(self, features):
+        x5 = self.fpa(features[-1])
+        x4 = self.gau3(features[-2], x5)
+        x3 = self.gau2(features[-3], x4)
+        return self.gau1(features[-4], x3)
+
+
+# --------------------- SMP decoders: MAnet / DeepLab -----------------------
+
+class PAB(nn.Module):
+    def __init__(self, in_channels, pab_channels=64):
+        super().__init__()
+        self.in_channels = in_channels
+        self.top_conv = nn.Conv2d(in_channels, pab_channels, kernel_size=1)
+        self.center_conv = nn.Conv2d(in_channels, pab_channels, kernel_size=1)
+        self.bottom_conv = nn.Conv2d(in_channels, in_channels, 3, padding=1)
+        self.map_softmax = nn.Softmax(dim=1)
+        self.out_conv = nn.Conv2d(in_channels, in_channels, 3, padding=1)
+
+    def forward(self, x):
+        b, _, h, w = x.shape
+        x_top = self.top_conv(x).flatten(2)                     # (b, pab, hw)
+        x_center = self.center_conv(x).flatten(2).transpose(1, 2)
+        x_bottom = self.bottom_conv(x).flatten(2).transpose(1, 2)
+        sp_map = torch.matmul(x_center, x_top)                  # (b, hw, hw)
+        # smp quirk: softmax over the FLATTENED hw*hw matrix
+        sp_map = self.map_softmax(sp_map.view(b, -1)).view(b, h * w, h * w)
+        sp_map = torch.matmul(sp_map, x_bottom)                 # (b, hw, c)
+        # smp quirk: raw reshape (no transpose) back to (b, c, h, w)
+        sp_map = sp_map.reshape(b, self.in_channels, h, w)
+        return self.out_conv(x + sp_map)
+
+
+class MFAB(nn.Module):
+    def __init__(self, in_ch, skip_ch, out_ch, reduction=16):
+        super().__init__()
+        self.hl_conv = nn.Sequential(
+            Conv2dReLU(in_ch, in_ch, 3, 1),
+            Conv2dReLU(in_ch, skip_ch, 1, 0),
+        )
+        rd = max(1, skip_ch // reduction)
+        self.SE_ll = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1),
+            nn.Conv2d(skip_ch, rd, 1), nn.ReLU(inplace=True),
+            nn.Conv2d(rd, skip_ch, 1), nn.Sigmoid(),
+        )
+        self.SE_hl = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1),
+            nn.Conv2d(skip_ch, rd, 1), nn.ReLU(inplace=True),
+            nn.Conv2d(rd, skip_ch, 1), nn.Sigmoid(),
+        )
+        self.conv1 = Conv2dReLU(skip_ch + skip_ch, out_ch, 3, 1)
+        self.conv2 = Conv2dReLU(out_ch, out_ch, 3, 1)
+
+    def forward(self, x, skip):
+        x = self.hl_conv(x)
+        x = F.interpolate(x, scale_factor=2, mode='nearest')
+        attention = self.SE_hl(x) + self.SE_ll(skip)
+        x = torch.cat([x * attention, skip], dim=1)
+        return self.conv2(self.conv1(x))
+
+
+class MAnetDecoder(nn.Module):
+    def __init__(self, encoder_channels, decoder_channels=(256, 128, 64, 32, 16),
+                 reduction=16, pab_channels=64):
+        super().__init__()
+        enc = list(encoder_channels[1:])[::-1]
+        head = enc[0]
+        in_ch = [head] + list(decoder_channels[:-1])
+        skip_ch = enc[1:] + [0]
+        self.center = PAB(head, pab_channels=pab_channels)
+        self.blocks = nn.ModuleList(
+            [MFAB(i, s, o, reduction=reduction) if s > 0
+             else UnetDecoderBlock(i, o)
+             for i, s, o in zip(in_ch, skip_ch, decoder_channels)]
+        )
+
+    def forward(self, features):
+        feats = features[1:][::-1]
+        x = self.center(feats[0])
+        skips = feats[1:]
+        for i, block in enumerate(self.blocks):
+            if i < len(skips):
+                x = block(x, skips[i])
+            else:
+                x = block(x)
+        return x
+
+
+class SeparableConv2d(nn.Sequential):
+    def __init__(self, in_ch, out_ch, kernel_size, padding=0, dilation=1,
+                 bias=True):
+        super().__init__(
+            nn.Conv2d(in_ch, in_ch, kernel_size, 1, padding, dilation,
+                      groups=in_ch, bias=False),
+            nn.Conv2d(in_ch, out_ch, 1, bias=bias),
+        )
+
+
+class ASPPPooling(nn.Sequential):
+    def __init__(self, in_ch, out_ch):
+        super().__init__(
+            nn.AdaptiveAvgPool2d(1),
+            nn.Conv2d(in_ch, out_ch, 1, bias=False),
+            nn.BatchNorm2d(out_ch),
+            nn.ReLU(),
+        )
+
+    def forward(self, x):
+        size = x.shape[-2:]
+        for mod in self:
+            x = mod(x)
+        return F.interpolate(x, size=size, mode='bilinear', align_corners=False)
+
+
+class ASPP(nn.Module):
+    def __init__(self, in_ch, out_ch, atrous_rates=(12, 24, 36), separable=False):
+        super().__init__()
+        mods = [nn.Sequential(nn.Conv2d(in_ch, out_ch, 1, bias=False),
+                              nn.BatchNorm2d(out_ch), nn.ReLU())]
+        for rate in atrous_rates:
+            if separable:
+                conv = SeparableConv2d(in_ch, out_ch, 3, padding=rate,
+                                       dilation=rate, bias=False)
+            else:
+                conv = nn.Conv2d(in_ch, out_ch, 3, padding=rate,
+                                 dilation=rate, bias=False)
+            mods.append(nn.Sequential(conv, nn.BatchNorm2d(out_ch), nn.ReLU()))
+        mods.append(ASPPPooling(in_ch, out_ch))
+        self.convs = nn.ModuleList(mods)
+        self.project = nn.Sequential(
+            nn.Conv2d(5 * out_ch, out_ch, 1, bias=False),
+            nn.BatchNorm2d(out_ch), nn.ReLU(), nn.Dropout(0.5),
+        )
+
+    def forward(self, x):
+        res = torch.cat([conv(x) for conv in self.convs], dim=1)
+        return self.project(res)
+
+
+class DeepLabV3Decoder(nn.Sequential):
+    def __init__(self, in_channels, out_channels=256):
+        super().__init__(
+            ASPP(in_channels, out_channels),
+            nn.Conv2d(out_channels, out_channels, 3, padding=1, bias=False),
+            nn.BatchNorm2d(out_channels),
+            nn.ReLU(),
+        )
+
+    def forward(self, features):
+        return super().forward(features[-1])
+
+
+class DeepLabV3PlusDecoder(nn.Module):
+    def __init__(self, encoder_channels, out_channels=256, output_stride=16):
+        super().__init__()
+        self.aspp = nn.Sequential(
+            ASPP(encoder_channels[-1], out_channels, separable=True),
+            SeparableConv2d(out_channels, out_channels, 3, padding=1, bias=False),
+            nn.BatchNorm2d(out_channels),
+            nn.ReLU(),
+        )
+        scale = 2 if output_stride == 8 else 4
+        self.up = nn.UpsamplingBilinear2d(scale_factor=scale)
+        self.block1 = nn.Sequential(
+            nn.Conv2d(encoder_channels[-4], 48, 1, bias=False),
+            nn.BatchNorm2d(48), nn.ReLU(),
+        )
+        self.block2 = nn.Sequential(
+            SeparableConv2d(48 + out_channels, out_channels, 3, padding=1,
+                            bias=False),
+            nn.BatchNorm2d(out_channels), nn.ReLU(),
+        )
+
+    def forward(self, features):
+        x = self.up(self.aspp(features[-1]))
+        low = self.block1(features[-4])
+        return self.block2(torch.cat([x, low], dim=1))
+
+
+def make_dilated(stage: nn.Module, dilation_rate: int) -> None:
+    """smp EncoderMixin.make_dilated semantics: every conv in the stage gets
+    stride 1, the dilation rate, and (k//2)*rate padding."""
+    for mod in stage.modules():
+        if isinstance(mod, nn.Conv2d):
+            mod.stride = (1, 1)
+            mod.dilation = (dilation_rate, dilation_rate)
+            kh, kw = mod.kernel_size
+            mod.padding = ((kh // 2) * dilation_rate, (kw // 2) * dilation_rate)
+
+
 class SMPModel(nn.Module):
     """encoder + decoder + segmentation_head — smp.create_model shape."""
 
@@ -447,6 +826,18 @@ class SMPModel(nn.Module):
         else:
             raise ValueError(encoder_name)
         ch = self.encoder.out_channels
+        # encoder dilation per smp model defaults (PAN os=16, V3 os=8, V3+ os=16)
+        output_stride = {'PAN': 16, 'DeepLabV3': 8, 'DeepLabV3Plus': 16}.get(arch)
+        if output_stride is not None:
+            if not isinstance(self.encoder, ResNetEncoder):
+                raise NotImplementedError(
+                    'dilated mirror encoders are only built for resnets')
+            if output_stride == 8:
+                make_dilated(self.encoder.layer3, 2)
+                make_dilated(self.encoder.layer4, 4)
+            else:
+                make_dilated(self.encoder.layer4, 2)
+        upsampling = nn.Identity()
         if arch == 'Unet':
             self.decoder = UnetDecoder(ch)
             head_in, head_k = 16, 3
@@ -456,10 +847,34 @@ class SMPModel(nn.Module):
         elif arch == 'Linknet':
             self.decoder = LinknetDecoder(ch)
             head_in, head_k = 32, 1
+        elif arch == 'FPN':
+            self.decoder = FPNDecoder(ch)
+            head_in, head_k = 128, 1
+            upsampling = nn.UpsamplingBilinear2d(scale_factor=4)
+        elif arch == 'PSPNet':
+            self.decoder = PSPDecoder(ch)
+            head_in, head_k = 512, 3
+            upsampling = nn.UpsamplingBilinear2d(scale_factor=8)
+        elif arch == 'PAN':
+            self.decoder = PANDecoder(ch)
+            head_in, head_k = 32, 3
+            upsampling = nn.UpsamplingBilinear2d(scale_factor=4)
+        elif arch == 'MAnet':
+            self.decoder = MAnetDecoder(ch)
+            head_in, head_k = 16, 3
+        elif arch == 'DeepLabV3':
+            self.decoder = DeepLabV3Decoder(ch[-1])
+            head_in, head_k = 256, 1
+            upsampling = nn.UpsamplingBilinear2d(scale_factor=8)
+        elif arch == 'DeepLabV3Plus':
+            self.decoder = DeepLabV3PlusDecoder(ch)
+            head_in, head_k = 256, 1
+            upsampling = nn.UpsamplingBilinear2d(scale_factor=4)
         else:
             raise ValueError(arch)
         self.segmentation_head = nn.Sequential(
             nn.Conv2d(head_in, classes, head_k, padding=head_k // 2),
+            upsampling,
             nn.Identity(),
         )
 
