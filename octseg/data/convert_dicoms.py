@@ -37,11 +37,12 @@ log = logging.getLogger(__name__)
 
 
 def resize_keep_aspect(img: np.ndarray, height: int) -> np.ndarray:
-    """Aspect-preserving resize to a target height (imutils.resize parity)."""
+    """Aspect-preserving resize to a target height (imutils.resize parity:
+    the width is truncated, int(w * height/h), not rounded)."""
     h, w = img.shape[:2]
     if h == height:
         return img
-    width = int(round(w * height / h))
+    width = int(w * (height / float(h)))
     return cv2.resize(img, (width, height), interpolation=cv2.INTER_LINEAR)
 
 
