@@ -183,14 +183,18 @@ class InferenceEngine:
         XLA's memory analysis, never by trial execution (896-px models OOM a
         16 GB chip at the 512-px block size). runner is the probe's compiled
         executable, reused so sizing costs no extra compilation."""
-        key = (model_dir_name, tuple(frame_shape[1:]), str(dtype))
-        if key in self._blocks:
-            return self._blocks[key]
         # resident buffers shrink the per-execution budget: the uploaded
         # pullback plus every loaded model's replicated params (this model's
         # are also inside the probed argument sizes — counting them twice
         # errs on the safe side)
         budget = self.HBM_BUDGET - self._resident_bytes() - extra_resident
+        # the budget is part of the key: a block sized while only one model
+        # was resident may not fit once all three are — quantized to 256 MB
+        # so float jitter can't fragment the cache
+        key = (model_dir_name, tuple(frame_shape[1:]), str(dtype),
+               int(budget) // (256 * 2 ** 20))
+        if key in self._blocks:
+            return self._blocks[key]
         bs = self.block_size
         runner = None
         while True:
@@ -210,8 +214,17 @@ class InferenceEngine:
         if runner is not None:
             try:
                 return runner(variables, chunk)
-            except Exception:  # committed-layout mismatch — jit path instead
-                pass
+            except Exception as e:
+                # the probe executable committed input layouts/shardings at
+                # lower() time; only that mismatch falls back to jit — a real
+                # runtime failure (device OOM, bad input) must surface, not
+                # silently recompile
+                msg = str(e).lower()
+                if not any(s in msg for s in
+                           ('layout', 'sharding', 'donat', 'incompatible')):
+                    raise
+                log.warning('compiled runner rejected the input (%s) — '
+                            'falling back to jit', str(e).splitlines()[0][:120])
         return fn(variables, chunk)
 
     def run_model(
@@ -283,9 +296,17 @@ class InferenceEngine:
                 extra_resident=int(frames.size) * frames.dtype.itemsize
                 // self.n_devices,
             )
+            # slice on device under jit with an explicit output sharding: an
+            # eager dynamic_slice of a 'data'-sharded array yields an
+            # unspecified-sharding result the compiled runner would reject
+            # (surfaced by the multichip dryrun at block < pullback size)
+            slicer = jax.jit(
+                functools.partial(
+                    jax.lax.dynamic_slice_in_dim, slice_size=bs, axis=0),
+                out_shardings=data_shard,
+            )
             outs = [
-                self._run(runner, fn, variables,
-                          jax.lax.dynamic_slice_in_dim(frames, start, bs))
+                self._run(runner, fn, variables, slicer(frames, start))
                 for start in range(0, n + pad_total, bs)
             ]
             pred = np.concatenate([np.asarray(o) for o in outs], axis=0)[:n]

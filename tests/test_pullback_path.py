@@ -25,3 +25,20 @@ def test_segment_pullback_contract(models_dir, rng):  # noqa: F811
     # (pullback path resizes native->input once), so require strong agreement
     agree = np.mean([np.mean(out[i] == ref[i]) for i in range(5)])
     assert agree > 0.9, agree
+
+
+def test_segment_pullback_multiblock_sharded(models_dir, rng):  # noqa: F811
+    """Multiple blocks per pullback: the on-device slice must stay frame-axis
+    sharded (regression: eager dynamic_slice dropped the sharding and the
+    compiled runner rejected the chunk — caught by dryrun_multichip)."""
+    from octseg.infer.engine import InferenceEngine
+
+    frames = rng.integers(0, 255, (20, 64, 64, 3), dtype=np.uint8)
+    classes = ['Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum']
+    small = InferenceEngine(models_dir, classes=classes, block_size=8)
+    big = InferenceEngine(models_dir, classes=classes, block_size=32)
+    assert small.block_size < frames.shape[0]  # forces >= 3 slices
+    out_multi = small.segment_pullback(frames, output_size=[64, 64])
+    out_single = big.segment_pullback(frames, output_size=[64, 64])
+    assert out_multi.shape == (20, 64, 64, 4)
+    np.testing.assert_array_equal(out_multi, out_single)
