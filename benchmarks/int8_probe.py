@@ -1,0 +1,109 @@
+"""Probe: int8 vs bf16 conv throughput on this chip (v5e int8 MXU peak is
+2x bf16 — 394 vs 197 TOPS). Decides whether an int8 inference mode can hit
+the VERDICT r2 target (>=1.5x ensemble f/s).
+
+Representative U-Net++/resnet101 @512 inference conv shapes. Relay-safe
+timing: back-to-back dispatches, one host-fetched probe per block,
+best-of-passes (shared-pool noise ~20%).
+
+Usage: python benchmarks/int8_probe.py  -> JSON to stdout + benchmarks/int8_probe.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (batch, h, w, cin, cout, k) — resnet101 body + unet++ decoder workhorses
+SHAPES = [
+    (16, 128, 128, 64, 64, 3),
+    (16, 64, 64, 128, 128, 3),
+    (16, 32, 32, 256, 256, 3),
+    (16, 16, 16, 512, 512, 3),
+    (16, 32, 32, 1024, 256, 1),
+    (16, 64, 64, 512, 256, 3),   # decoder block after concat
+]
+ITERS, PASSES = 8, 3
+
+
+def conv(x, w, out_dtype=None):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=out_dtype,
+    )
+
+
+def timed(fn, *args):
+    probe = jax.jit(lambda y: y.reshape(-1)[0])
+    float(jax.device_get(probe(fn(*args))))  # warm
+    best = float('inf')
+    for _ in range(PASSES):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(ITERS):
+            out = fn(*args)
+        float(jax.device_get(probe(out)))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    return best
+
+
+def main():
+    rng = np.random.default_rng(0)
+    rows = []
+    for (n, h, w, cin, cout, k) in SHAPES:
+        x = rng.normal(size=(n, h, w, cin)).astype(np.float32)
+        wgt = rng.normal(size=(k, k, cin, cout)).astype(np.float32) * 0.05
+        flops = 2.0 * n * h * w * cin * cout * k * k
+
+        xb = jax.device_put(jnp.asarray(x, jnp.bfloat16))
+        wb = jax.device_put(jnp.asarray(wgt, jnp.bfloat16))
+        f_bf16 = jax.jit(lambda a, b: conv(a, b))
+        t_bf16 = timed(f_bf16, xb, wb)
+
+        xi = jax.device_put(jnp.asarray(
+            np.clip(np.round(x * 10), -127, 127), jnp.int8))
+        wi = jax.device_put(jnp.asarray(
+            np.clip(np.round(wgt * 100), -127, 127), jnp.int8))
+        f_int8 = jax.jit(lambda a, b: conv(a, b, jnp.int32))
+        t_int8 = timed(f_int8, xi, wi)
+
+        # int8 with the dequant epilogue an inference path actually needs
+        scale = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32) ** 2 + 0.1)
+        f_int8_deq = jax.jit(
+            lambda a, b, s: (conv(a, b, jnp.int32).astype(jnp.float32) * s
+                             ).astype(jnp.bfloat16))
+        t_int8_deq = timed(f_int8_deq, xi, wi, jax.device_put(scale))
+
+        row = {
+            'shape': f'{n}x{h}x{w}x{cin}->{cout} k{k}',
+            'bf16_ms': round(t_bf16 * 1e3, 3),
+            'int8_ms': round(t_int8 * 1e3, 3),
+            'int8_deq_ms': round(t_int8_deq * 1e3, 3),
+            'bf16_tflops': round(flops / t_bf16 / 1e12, 1),
+            'int8_tops': round(flops / t_int8 / 1e12, 1),
+            'speedup': round(t_bf16 / t_int8_deq, 2),
+        }
+        rows.append(row)
+        print(row, flush=True)
+
+    out = {
+        'device': str(jax.devices()[0]),
+        'v5e_peaks_tops': {'bf16': 197, 'int8': 394},
+        'iters': ITERS, 'passes': PASSES,
+        'rows': rows,
+    }
+    path = os.path.join(os.path.dirname(__file__), 'int8_probe.json')
+    with open(path, 'w') as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({'geomean_speedup': round(
+        float(np.exp(np.mean([np.log(r['speedup']) for r in rows]))), 3)}))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,159 @@
+"""VPU/HBM roofline evidence for the efficientnet-b7 depthwise stages.
+
+VERDICT r2 (weak #1 / item 3): the claim that LinkNet/efficientnet-b7's
+depthwise convolutions already run at the VPU speed-of-light was asserted
+from one probe. This script makes it a reproducible artifact:
+
+1. calibrates the chip's achievable ceilings empirically —
+   - VPU: a long chain of fused multiply-adds on a resident VMEM-friendly
+     block (no memory traffic in the steady state),
+   - HBM: a pure streaming copy (read+write) of a large buffer;
+2. times every distinct depthwise conv shape of efficientnet-b7 at 512 px
+   (the FC_LC winning input pipeline's bench shape, batch 16);
+3. reports each stage's arithmetic (TFLOP/s vs VPU ceiling) and memory
+   (GB/s vs HBM ceiling) utilization. A stage is at speed-of-light when
+   max(util_vpu, util_hbm) ~ 1 — the roofline says nothing faster exists
+   for that op on this chip without changing the algorithm.
+
+Writes benchmarks/vpu_roofline.json. Usage: python benchmarks/vpu_roofline.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from octseg.models.encoders.efficientnet import flattened_blocks
+
+BATCH = 16
+INPUT = 512
+ITERS, PASSES = 6, 3
+DTYPE = jnp.bfloat16
+
+
+def _sync(x):
+    return float(jax.device_get(jax.jit(lambda y: y.reshape(-1)[0])(x)))
+
+
+def timed(fn, *args):
+    _sync(fn(*args))
+    best = float('inf')
+    for _ in range(PASSES):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(ITERS):
+            out = fn(*args)
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    return best
+
+
+def calibrate_vpu():
+    """Fused multiply-add chain on a block that lives in registers/VMEM."""
+    x = jax.device_put(jnp.ones((512, 1024), DTYPE))
+
+    @jax.jit
+    def chain(x):
+        y = x
+        for _ in range(512):
+            y = y * 1.000001 + 0.000001
+        return y
+
+    dt = timed(chain, x)
+    flops = 2.0 * 512 * x.size
+    return flops / dt
+
+
+def calibrate_hbm():
+    """Streaming read+write of a buffer far larger than VMEM."""
+    x = jax.device_put(jnp.ones((256, 1024, 1024), DTYPE))  # 512 MB bf16
+
+    @jax.jit
+    def copy(x):
+        return x + jnp.bfloat16(1.0)
+
+    dt = timed(copy, x)
+    return 2.0 * x.size * x.dtype.itemsize / dt  # bytes/s (read + write)
+
+
+def main():
+    rows = []
+    vpu = calibrate_vpu()
+    hbm = calibrate_hbm()
+    print(f'# calibrated ceilings: VPU {vpu / 1e12:.2f} TFLOP/s, '
+          f'HBM {hbm / 1e9:.0f} GB/s', flush=True)
+
+    # walk b7's blocks tracking true input channels of each depthwise conv
+    # (the depthwise runs on the EXPANDED channels: in_ch * expand)
+    from octseg.models.encoders.efficientnet import efficientnet_out_channels
+
+    h = INPUT // 2  # after the stride-2 stem
+    seen = {}
+    in_ch = efficientnet_out_channels('efficientnet-b7')[1]  # stem out
+    for blk in flattened_blocks('efficientnet-b7'):
+        mid = in_ch * blk['expand']
+        key = (h, mid, blk['kernel'], blk['stride'])
+        seen[key] = seen.get(key, 0) + 1
+        if blk['stride'] == 2:
+            h //= 2
+        in_ch = blk['out']
+
+    for (hh, c, k, s), count in sorted(seen.items(), key=lambda kv: -kv[0][0]):
+        x = jax.device_put(jnp.ones((BATCH, hh, hh, c), DTYPE))
+        w = jax.device_put(jnp.ones((k, k, 1, c), DTYPE))
+
+        def dwconv(a, b, s=s, c=c):
+            return jax.lax.conv_general_dilated(
+                a, b, (s, s), 'SAME',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                feature_group_count=c,
+            )
+
+        dt = timed(jax.jit(dwconv), x, w)
+        oh = hh // s
+        flops = 2.0 * BATCH * oh * oh * c * k * k
+        bytes_moved = (x.size + (BATCH * oh * oh * c)) * x.dtype.itemsize
+        row = {
+            'shape': f'{BATCH}x{hh}x{hh}x{c} k{k} s{s} (x{count} blocks)',
+            'ms': round(dt * 1e3, 3),
+            'tflops': round(flops / dt / 1e12, 2),
+            'gb_s': round(bytes_moved / dt / 1e9, 1),
+            'util_vpu': round(flops / dt / vpu, 3),
+            'util_hbm': round(bytes_moved / dt / hbm, 3),
+            'count': count,
+        }
+        row['util'] = max(row['util_vpu'], row['util_hbm'])
+        rows.append(row)
+        print(row, flush=True)
+
+    total_ms = sum(r['ms'] * r['count'] for r in rows)
+    weighted_util = sum(
+        r['util'] * r['ms'] * r['count'] for r in rows) / max(total_ms, 1e-9)
+    out = {
+        'device': str(jax.devices()[0]),
+        'calibrated_vpu_tflops': round(vpu / 1e12, 2),
+        'calibrated_hbm_gb_s': round(hbm / 1e9, 1),
+        'batch': BATCH, 'input': INPUT,
+        'rows': rows,
+        'total_depthwise_ms_per_block': round(total_ms, 1),
+        'time_weighted_roofline_util': round(weighted_util, 3),
+        'conclusion': (
+            'depthwise stages at/near the measured roofline — no headroom '
+            'without an algorithm change' if weighted_util > 0.7 else
+            'headroom exists below the roofline — a Pallas depthwise kernel '
+            'is worth attempting'),
+    }
+    path = os.path.join(os.path.dirname(__file__), 'vpu_roofline.json')
+    with open(path, 'w') as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({'time_weighted_roofline_util': out[
+        'time_weighted_roofline_util']}))
+
+
+if __name__ == '__main__':
+    main()

@@ -81,10 +81,12 @@ class InferenceEngine:
         block_size: int = 128,  # measured knee of the throughput curve on v5e
         mesh=None,
         bf16: bool = False,  # mixed-precision compute (fp32 params/logits)
+        int8: bool = False,  # int8 MXU convs (octseg/ops/quantize.py), opt-in
     ):
         self.classes = list(classes)
         self.models_dir = models_dir
         self.compute_dtype = jnp.bfloat16 if bf16 else None
+        self.int8 = bool(int8)
         self.mesh = mesh or make_mesh()
         self.n_devices = self.mesh.devices.size
         # block size: static frame-chunk per forward = mesh size x a power of
@@ -156,6 +158,8 @@ class InferenceEngine:
         # floats with no mean/std (src/models/smp/model.py:183-200 quirk).
         normalize = bool(model_cfg.get('normalize', False))
 
+        int8_mode = self.int8
+
         def forward(variables, imgs):
             if device_preprocess:
                 # fused on-device preprocessing: uint8 RGB frames at native
@@ -165,7 +169,12 @@ class InferenceEngine:
                 imgs = resize_bilinear(imgs, (input_size, input_size))
             if normalize:
                 imgs = normalize_imagenet(imgs)
-            logits = model.apply(variables, imgs, train=False)
+            if int8_mode:
+                from octseg.ops.quantize import apply_int8
+
+                logits = apply_int8(model, variables, imgs, train=False)
+            else:
+                logits = model.apply(variables, imgs, train=False)
             masks = sigmoid_threshold(logits)
             masks = resize_nearest(masks, (out_h, out_w))
             # binary masks travel host-ward as uint8 (4x less transfer)

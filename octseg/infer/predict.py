@@ -41,7 +41,10 @@ def main(cfg: Config) -> None:
     log.info('Number of images: %d', len(images_name))
 
     start_inference = time.time()
-    engine = InferenceEngine(models_dir=models_dir, classes=list(cfg.classes))
+    engine = InferenceEngine(
+        models_dir=models_dir, classes=list(cfg.classes),
+        bf16=bool(cfg.get('bf16', False)), int8=bool(cfg.get('int8', False)),
+    )
     masks = engine.segment(images=images, masks=masks, output_size=cfg.output_size)
     log.info('Prediction time: %.1f s', time.time() - start_inference)
 

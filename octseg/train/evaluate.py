@@ -31,8 +31,11 @@ log = logging.getLogger(__name__)
 
 
 def evaluate_model(model_dir: str, data_dir: str, batch_size: int = 8,
-                   split: str = 'test') -> Dict[str, Dict[str, float]]:
-    """Per-class metrics dict {class: {dice, iou, precision, recall, f1}}."""
+                   split: str = 'test', int8: bool = False,
+                   ) -> Dict[str, Dict[str, float]]:
+    """Per-class metrics dict {class: {dice, iou, precision, recall, f1}}.
+    int8=True scores the quantized inference path (octseg/ops/quantize.py)
+    so its accuracy delta vs the exact path is measurable."""
     model, variables, model_cfg = load_model_bundle(model_dir)
     classes: List[str] = model_cfg['classes']
     dataset = OCTDataset(
@@ -51,6 +54,10 @@ def evaluate_model(model_dir: str, data_dir: str, batch_size: int = 8,
         # payload that relay-attached compile services reject outright
         if normalize:
             x = normalize_imagenet(x)
+        if int8:
+            from octseg.ops.quantize import apply_int8
+
+            return apply_int8(model, variables, x, train=False)
         return model.apply(variables, x, train=False)
 
     forward = jax.jit(_forward)
@@ -79,7 +86,7 @@ def evaluate_model(model_dir: str, data_dir: str, batch_size: int = 8,
 def main(cfg: Config) -> None:
     results = evaluate_model(
         cfg.model_dir, cfg.data_dir, int(cfg.get('batch_size', 8)),
-        cfg.get('split', 'test'),
+        cfg.get('split', 'test'), int8=bool(cfg.get('int8', False)),
     )
     for cl, metrics in results.items():
         log.info(
