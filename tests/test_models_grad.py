@@ -15,8 +15,10 @@ RNGS = {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)}
 @pytest.mark.parametrize('arch', SUPPORTED_ARCHITECTURES)
 def test_arch_backward_shapes(arch):
     model = create_model(arch, 'resnet18', classes=2)
-    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
-    y = jnp.zeros((2, 64, 64, 2), jnp.float32)
+    # SMP PAN's FPA maxpool pyramid needs a >=8px deepest map (os=16)
+    size = 128 if arch == 'PAN' else 64
+    x = jnp.zeros((2, size, size, 3), jnp.float32)
+    y = jnp.zeros((2, size, size, 2), jnp.float32)
     variables = jax.eval_shape(functools.partial(model.init, train=False), RNGS, x)
 
     def loss_fn(params, batch_stats):
