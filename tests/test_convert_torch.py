@@ -64,6 +64,9 @@ def _forward_pair(arch, encoder, classes=2, size=64, seed=0):
         # cross-family coverage for the new decoders
         ('FPN', 'efficientnet-b0', 64),
         ('MAnet', 'timm-regnetx_002', 64),
+        # dilated-encoder cross-family coverage (smp make_dilated semantics)
+        ('PAN', 'efficientnet-b0', 128),
+        ('DeepLabV3Plus', 'timm-regnetx_002', 64),
     ],
 )
 def test_forward_parity(arch, encoder, size):

@@ -222,12 +222,19 @@ class RegNetEncoderT(nn.Module):
 # ---------------- efficientnet-pytorch (lukemelas) style ------------------
 
 class SamePadConv(nn.Conv2d):
-    """Conv2dStaticSamePadding: TF SAME (asymmetric, more at the end)."""
+    """Conv2dStaticSamePadding: TF SAME (asymmetric, more at the end).
+
+    After smp's make_dilated (static_padding -> Identity, symmetric
+    padding=(k//2)*rate), the conv runs with plain symmetric padding — the
+    dilated branch below mirrors that."""
 
     def __init__(self, i, o, k, s=1, groups=1, bias=False):
         super().__init__(i, o, k, s, 0, groups=groups, bias=bias)
 
     def forward(self, x):
+        if self.dilation != (1, 1):  # make_dilated applied
+            return F.conv2d(x, self.weight, self.bias, self.stride,
+                            self.padding, self.dilation, self.groups)
         ih, iw = x.shape[-2:]
         kh, kw = self.weight.shape[-2:]
         sh, sw = self.stride
@@ -829,14 +836,26 @@ class SMPModel(nn.Module):
         # encoder dilation per smp model defaults (PAN os=16, V3 os=8, V3+ os=16)
         output_stride = {'PAN': 16, 'DeepLabV3': 8, 'DeepLabV3Plus': 16}.get(arch)
         if output_stride is not None:
-            if not isinstance(self.encoder, ResNetEncoder):
-                raise NotImplementedError(
-                    'dilated mirror encoders are only built for resnets')
-            if output_stride == 8:
-                make_dilated(self.encoder.layer3, 2)
-                make_dilated(self.encoder.layer4, 4)
+            if isinstance(self.encoder, ResNetEncoder):
+                stages = [self.encoder.layer3, self.encoder.layer4]
+            elif isinstance(self.encoder, RegNetEncoderT):
+                stages = [self.encoder.s3, self.encoder.s4]
+            elif isinstance(self.encoder, EfficientNetEncoderT):
+                # smp get_stages boundaries: stage4 (1/16) = TF-stages 3+4 =
+                # blocks (taps[1], taps[2]]; stage5 (1/32) = TF-stages 5+6 =
+                # blocks (taps[2], end]
+                taps = self.encoder._tap_after
+                stages = [
+                    nn.Sequential(*self.encoder._blocks[taps[1] + 1:taps[2] + 1]),
+                    nn.Sequential(*self.encoder._blocks[taps[2] + 1:]),
+                ]
             else:
-                make_dilated(self.encoder.layer4, 2)
+                raise NotImplementedError(type(self.encoder))
+            if output_stride == 8:
+                make_dilated(stages[0], 2)
+                make_dilated(stages[1], 4)
+            else:
+                make_dilated(stages[1], 2)
         upsampling = nn.Identity()
         if arch == 'Unet':
             self.decoder = UnetDecoder(ch)
