@@ -121,30 +121,10 @@ def main():
     mfu = total_flops / dt / (V5E_BF16_PEAK * n_chips)
 
     # int8 ensemble mode (per-channel weight + dynamic per-tensor activation
-    # quantization, octseg/ops/quantize.py; accuracy validated in
-    # eval/synth_fullscale/int8_accuracy.json): measured the same way
-    fns = None  # free the bf16 executables' HBM reservations before int8
-    int8_fps = 0.0
-    try:
-        int8_fns = [build(*spec, int8=True) for spec in ENSEMBLE]
-        for fn, variables, _f in int8_fns:
-            sync(fn(variables, imgs))
-        per_model_int8 = [float('inf')] * len(int8_fns)
-        for _ in range(PASSES):
-            for k, (fn, variables, _f) in enumerate(int8_fns):
-                t0 = time.perf_counter()
-                out = None
-                for _ in range(ITERS):
-                    out = fn(variables, imgs)
-                sync(out)
-                per_model_int8[k] = min(
-                    per_model_int8[k], (time.perf_counter() - t0) / ITERS)
-        for (arch, enc, _c), dt8 in zip(ENSEMBLE, per_model_int8):
-            print(f'# int8 {arch}/{enc}: {dt8 * 1e3:.1f} ms/block '
-                  f'({BATCH / dt8:.1f} f/s)', file=sys.stderr, flush=True)
-        int8_fps = BATCH / sum(per_model_int8) / n_chips
-    except Exception as e:  # int8 lowering unavailable: report bf16 only
-        print(f'# int8 mode failed: {e}', file=sys.stderr, flush=True)
+    # quantization, octseg/ops/quantize.py): measured in a FRESH SUBPROCESS —
+    # the int32 conv outputs inflate XLA temps ~50% over bf16, so the int8
+    # executables need the whole chip to themselves (b128 OOMs otherwise)
+    int8_fps = _int8_subprocess()
 
     train_img_s = bench_training(sync)
     headline = max(fps_per_chip, int8_fps)
@@ -159,6 +139,68 @@ def main():
         'int8_speedup': round(int8_fps / fps_per_chip, 3) if int8_fps else 0.0,
         'train_img_s': round(train_img_s, 1),
     }))
+
+
+def _int8_subprocess() -> float:
+    """Run the int8 ensemble phase isolated; returns f/s/chip (0 on failure)."""
+    import os
+    import subprocess
+    import sys
+
+    for batch in (BATCH, BATCH // 2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, '-u', os.path.abspath(__file__),
+                 '--int8-phase', str(batch)],
+                capture_output=True, text=True, timeout=2400,
+            )
+            sys.stderr.write(proc.stderr)
+            if proc.returncode == 0 and proc.stdout.strip():
+                fps = float(json.loads(proc.stdout.strip().splitlines()[-1])
+                            ['int8_f_s'])
+                if batch != BATCH:
+                    print(f'# int8 measured at b{batch} (b{BATCH} OOM)',
+                          file=sys.stderr, flush=True)
+                return fps
+        except Exception as e:
+            print(f'# int8 subprocess failed: {e}', file=sys.stderr, flush=True)
+    return 0.0
+
+
+def int8_phase(batch: int) -> None:
+    """Child-process entry: time the int8 ensemble at the given batch."""
+    import sys
+
+    import numpy as np
+
+    global BATCH
+    BATCH = batch
+    n_chips = jax.device_count()
+    fns = [build(*spec, int8=True) for spec in ENSEMBLE]
+    imgs = jax.device_put(jax.random.uniform(
+        jax.random.PRNGKey(1), (batch, INPUT, INPUT, 3), jnp.float32, 0, 255))
+    probe = jax.jit(lambda m: m[0, 0, 0, 0])
+
+    def sync(out):
+        return float(np.asarray(jax.device_get(probe(out))))
+
+    for fn, variables, _f in fns:
+        sync(fn(variables, imgs))
+    per_model = [float('inf')] * len(fns)
+    ITERS, PASSES = 5, 2
+    for _ in range(PASSES):
+        for k, (fn, variables, _f) in enumerate(fns):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(ITERS):
+                out = fn(variables, imgs)
+            sync(out)
+            per_model[k] = min(per_model[k], (time.perf_counter() - t0) / ITERS)
+    for (arch, enc, _c), dt8 in zip(ENSEMBLE, per_model):
+        print(f'# int8 {arch}/{enc}: {dt8 * 1e3:.1f} ms/block '
+              f'({batch / dt8:.1f} f/s)', file=sys.stderr, flush=True)
+    print(json.dumps(
+        {'int8_f_s': round(batch / sum(per_model) / n_chips, 2)}))
 
 
 def bench_training(sync, batch=16, size=512):
@@ -201,4 +243,9 @@ def bench_training(sync, batch=16, size=512):
 
 
 if __name__ == '__main__':
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) > 2 and _sys.argv[1] == '--int8-phase':
+        int8_phase(int(_sys.argv[2]))
+    else:
+        main()
