@@ -68,6 +68,10 @@ def build(arch, encoder, classes, int8=False):
         flops = float(compiled.cost_analysis().get('flops', 0.0))
     except Exception:
         flops = 0.0
+    import sys as _s
+
+    print(f'# built {arch}/{encoder}{" int8" if int8 else ""}',
+          file=_s.stderr, flush=True)
     return compiled, variables, flops
 
 
@@ -184,8 +188,11 @@ def int8_phase(batch: int) -> None:
     def sync(out):
         return float(np.asarray(jax.device_get(probe(out))))
 
-    for fn, variables, _f in fns:
+    for spec, (fn, variables, _f) in zip(ENSEMBLE, fns):
+        t0 = time.perf_counter()
         sync(fn(variables, imgs))
+        print(f'# int8 warm {spec[0]}/{spec[1]}: '
+              f'{time.perf_counter() - t0:.0f}s', file=sys.stderr, flush=True)
     per_model = [float('inf')] * len(fns)
     ITERS, PASSES = 5, 2
     for _ in range(PASSES):

@@ -43,17 +43,9 @@ def conv(x, w, out_dtype=None):
 
 
 def timed(fn, *args):
-    probe = jax.jit(lambda y: y.reshape(-1)[0])
-    float(jax.device_get(probe(fn(*args))))  # warm
-    best = float('inf')
-    for _ in range(PASSES):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(ITERS):
-            out = fn(*args)
-        float(jax.device_get(probe(out)))
-        best = min(best, (time.perf_counter() - t0) / ITERS)
-    return best
+    from _timing import timed as _timed  # benchmarks/ is the script dir
+
+    return _timed(fn, *args, iters=ITERS, passes=PASSES)
 
 
 def main():

@@ -19,6 +19,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from _timing import sync as _sync  # noqa: E402  (benchmarks/ on sys.path)
+
 CONFIGS = [
     # (name, arch, encoder, size, batch, remat)
     ('FC_LC', 'LinkNet', 'efficientnet-b7', 896, 4, True),
@@ -49,10 +53,7 @@ def bench_one(name, arch, encoder, size, batch, remat):
         step = jax.jit(make_train_step(model, use_augmentation=True),
                        donate_argnums=(0,))
 
-        def sync(m):
-            return float(jax.device_get(
-                jax.jit(lambda y: y.reshape(-1)[0])(m)))
-
+        sync = _sync
         t0 = time.perf_counter()
         state, metrics = step(state, imgs, masks, jax.random.PRNGKey(1))
         sync(metrics['loss'][None])

@@ -22,13 +22,16 @@ from __future__ import annotations
 
 import json
 import os
-import time
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from octseg.models.encoders.efficientnet import flattened_blocks
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from _timing import timed as _timed  # noqa: E402  (benchmarks/ on sys.path)
+from octseg.models.encoders.efficientnet import flattened_blocks  # noqa: E402
 
 BATCH = 16
 INPUT = 512
@@ -36,21 +39,8 @@ ITERS, PASSES = 6, 3
 DTYPE = jnp.bfloat16
 
 
-def _sync(x):
-    return float(jax.device_get(jax.jit(lambda y: y.reshape(-1)[0])(x)))
-
-
 def timed(fn, *args):
-    _sync(fn(*args))
-    best = float('inf')
-    for _ in range(PASSES):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(ITERS):
-            out = fn(*args)
-        _sync(out)
-        best = min(best, (time.perf_counter() - t0) / ITERS)
-    return best
+    return _timed(fn, *args, iters=ITERS, passes=PASSES)
 
 
 def calibrate_vpu():

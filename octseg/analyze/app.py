@@ -265,11 +265,18 @@ def make_handler(state: AppState):
                 except OSError:
                     return self._send(b'session evicted', 'text/plain', 410)
             if url.path == '/frame.png':  # server-rendered fallback viewer
+                img_dir = os.path.join(data['work_dir'], 'img')
+                num = int(q.get('num', 0))
+                n_frames = len(glob(os.path.join(img_dir, '*.png')))
+                if not os.path.isdir(img_dir):
+                    return self._send(b'session evicted', 'text/plain', 410)
+                if num < 0 or num >= n_frames:
+                    return self._send(b'no such frame', 'text/plain', 404)
                 try:
                     png = figures.get_img_show(
                         data,
-                        img_dir=os.path.join(data['work_dir'], 'img'),
-                        img_num=int(q.get('num', 0)),
+                        img_dir=img_dir,
+                        img_num=num,
                         classes_vis=classes,
                         opacity=float(q.get('opacity', 20)),
                     )

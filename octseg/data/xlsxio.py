@@ -15,6 +15,7 @@ Dates are returned as raw serial numbers (the aggregator drops them).
 
 from __future__ import annotations
 
+import numbers
 import re
 import zipfile
 from typing import Any, Dict, List, Optional
@@ -84,9 +85,16 @@ def read_xlsx(path: str, sheet: Optional[str] = None) -> List[List[Any]]:
             for si in sst.iter(f'{_NS}si'):
                 shared.append(''.join(el.text or '' for el in si.iter(f'{_NS}t')))
         ws = ET.fromstring(z.read(_sheet_path(z, sheet)))
-        rows: List[List[Any]] = []
+        by_row: Dict[int, List[Any]] = {}
         width = 0
+        next_row = 0
         for row in ws.iter(f'{_NS}row'):
+            # honor the row's 'r' attribute: writers may omit blank rows
+            # entirely (valid SpreadsheetML) — ignoring it would shift every
+            # subsequent row up relative to pandas.read_excel
+            r = row.get('r')
+            ri = int(r) - 1 if r else next_row
+            next_row = ri + 1
             values: Dict[int, Any] = {}
             next_col = 0
             for cell in row.iter(f'{_NS}c'):
@@ -96,8 +104,13 @@ def read_xlsx(path: str, sheet: Optional[str] = None) -> List[List[Any]]:
                 values[col] = _cell_value(cell, shared)
             if values:
                 width = max(width, max(values) + 1)
-            rows.append([values.get(i) for i in range(max(values, default=-1) + 1)])
-        return [r + [None] * (width - len(r)) for r in rows]
+            by_row[ri] = [values.get(i) for i in range(max(values, default=-1) + 1)]
+        n_rows = max(by_row, default=-1) + 1
+        return [
+            (by_row.get(i, []) + [None] * width)[:width] if width else
+            by_row.get(i, [])
+            for i in range(n_rows)
+        ]
 
 
 def read_xlsx_records(path: str, sheet: Optional[str] = None) -> List[Dict[str, Any]]:
@@ -135,12 +148,16 @@ def write_xlsx(path: str, rows: List[List[Any]], sheet: str = 'Sheet1') -> None:
             ref = f'{_col_name(ci)}{ri}'
             if val is None:
                 continue
-            if isinstance(val, bool):
+            if isinstance(val, bool) or type(val).__name__ == 'bool_':
                 parts.append(f'<c r="{ref}" t="b"><v>{int(val)}</v></c>')
-            elif isinstance(val, (int, float)):
-                if val != val or val in (float('inf'), float('-inf')):
+            elif isinstance(val, numbers.Number):
+                # coerce via float()/int(): numpy scalars repr as
+                # 'np.float64(...)' under numpy 2.x, which corrupts the cell
+                v = int(val) if float(val).is_integer() and not isinstance(
+                    val, float) else float(val)
+                if v != v or v in (float('inf'), float('-inf')):
                     continue  # NaN/inf: empty cell, like pandas
-                parts.append(f'<c r="{ref}"><v>{val!r}</v></c>')
+                parts.append(f'<c r="{ref}"><v>{v!r}</v></c>')
             else:
                 s = escape(str(val))
                 parts.append(

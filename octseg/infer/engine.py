@@ -218,6 +218,17 @@ class InferenceEngine:
         self._blocks[key] = (bs, runner)
         return bs, runner
 
+    @functools.lru_cache(maxsize=None)
+    def _slicer(self, block: int):
+        """Jitted frame-axis slicer with a pinned output sharding, cached per
+        block size so repeated pullbacks reuse the compiled program instead
+        of re-tracing (compiles cost seconds on a relay-attached chip)."""
+        return jax.jit(
+            functools.partial(
+                jax.lax.dynamic_slice_in_dim, slice_size=block, axis=0),
+            out_shardings=batch_sharding(self.mesh),
+        )
+
     @staticmethod
     def _run(runner, fn, variables, chunk):
         if runner is not None:
@@ -309,11 +320,7 @@ class InferenceEngine:
             # eager dynamic_slice of a 'data'-sharded array yields an
             # unspecified-sharding result the compiled runner would reject
             # (surfaced by the multichip dryrun at block < pullback size)
-            slicer = jax.jit(
-                functools.partial(
-                    jax.lax.dynamic_slice_in_dim, slice_size=bs, axis=0),
-                out_shardings=data_shard,
-            )
+            slicer = self._slicer(bs)
             outs = [
                 self._run(runner, fn, variables, slicer(frames, start))
                 for start in range(0, n + pad_total, bs)

@@ -201,5 +201,8 @@ class ConvGNAct(nn.Module):
         pad = tuple((k // 2, k // 2) for k in self.kernel_size)
         x = nn.Conv(self.features, self.kernel_size, padding=pad,
                     use_bias=False, dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(x)
+        # torch nn.GroupNorm eps is 1e-5 (flax defaults to 1e-6 — a near-35%
+        # per-channel divergence on low-variance channels if left unpinned)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=self.dtype)(x)
         return get_activation(self.act)(x)
