@@ -148,11 +148,14 @@ def write_xlsx(path: str, rows: List[List[Any]], sheet: str = 'Sheet1') -> None:
             ref = f'{_col_name(ci)}{ri}'
             if val is None:
                 continue
-            if isinstance(val, bool) or type(val).__name__ == 'bool_':
+            # numpy scalars (np.float64/int64/bool_) repr as 'np.float64(x)'
+            # under numpy 2.x and dodge numbers.Number for bool_ — unwrap to
+            # native python types first
+            if type(val).__module__ == 'numpy' and hasattr(val, 'item'):
+                val = val.item()
+            if isinstance(val, bool):
                 parts.append(f'<c r="{ref}" t="b"><v>{int(val)}</v></c>')
             elif isinstance(val, numbers.Number):
-                # coerce via float()/int(): numpy scalars repr as
-                # 'np.float64(...)' under numpy 2.x, which corrupts the cell
                 v = int(val) if float(val).is_integer() and not isinstance(
                     val, float) else float(val)
                 if v != v or v in (float('inf'), float('-inf')):

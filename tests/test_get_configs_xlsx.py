@@ -57,6 +57,39 @@ def test_write_records_column_order(tmp_path):
     assert read_xlsx(p)[0] == ['a', 'b']
 
 
+def test_read_xlsx_sparse_rows(tmp_path):
+    """Writers may omit blank rows entirely (valid SpreadsheetML): the 'r'
+    attribute must place rows at their true indices, not shift them up."""
+    import zipfile
+
+    p = str(tmp_path / 'sparse.xlsx')
+    write_xlsx(p, [['h'], ['x']])  # valid container to splice into
+    with zipfile.ZipFile(p) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    ns = 'http://schemas.openxmlformats.org/spreadsheetml/2006/main'
+    parts['xl/worksheets/sheet1.xml'] = (
+        f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>'
+        '<row r="3"><c r="A3"><v>7</v></c></row>'
+        '</sheetData></worksheet>'
+    ).encode()
+    with zipfile.ZipFile(p, 'w') as z:
+        for n, b in parts.items():
+            z.writestr(n, b)
+    rows = read_xlsx(p)
+    assert rows == [['h'], [None], [7]]  # row 2 exists as a blank row
+
+
+def test_write_xlsx_numpy_scalars(tmp_path):
+    import numpy as np
+
+    p = str(tmp_path / 'np.xlsx')
+    write_xlsx(p, [['a', 'b', 'c'],
+                   [np.float64(0.5), np.int64(7), np.bool_(True)]])
+    got = read_xlsx(p)[1]
+    assert got == [0.5, 7, True]
+
+
 needs_reference = pytest.mark.skipif(
     not os.path.isdir(_REF_TUNING), reason='reference checkout not present')
 
