@@ -127,8 +127,15 @@ def main():
     # int8 ensemble mode (per-channel weight + dynamic per-tensor activation
     # quantization, octseg/ops/quantize.py): measured in a FRESH SUBPROCESS —
     # the int32 conv outputs inflate XLA temps ~50% over bf16, so the int8
-    # executables need the whole chip to themselves (b128 OOMs otherwise)
-    int8_fps = _int8_subprocess()
+    # executables need the whole chip to themselves (b128 OOMs even solo; it
+    # runs at b64). Opt-in via BENCH_INT8=1: the measured result is a NET
+    # LOSS vs bf16 on this XLA (benchmarks/int8_ensemble.json — the 1.6x
+    # kernel win at MXU-saturating shapes is eaten by quantize/dequantize
+    # passes and the b64 memory constraint), so the default driver bench
+    # does not spend ~20 min re-measuring it.
+    import os as _os
+
+    int8_fps = _int8_subprocess() if _os.environ.get('BENCH_INT8') else 0.0
 
     train_img_s = bench_training(sync)
     headline = max(fps_per_chip, int8_fps)
@@ -151,7 +158,7 @@ def _int8_subprocess() -> float:
     import subprocess
     import sys
 
-    for batch in (BATCH, BATCH // 2):
+    for batch in (BATCH // 2,):  # b128 deterministically OOMs (int32 temps)
         try:
             proc = subprocess.run(
                 [sys.executable, '-u', os.path.abspath(__file__),
