@@ -63,3 +63,23 @@ def test_visualize_driver(tmp_path, rng):
     assert 'metrics.csv' in files
     assert '0_Lumen_overlay.png' in files and '0_Lumen_map.png' in files
     assert len([f for f in files if f.endswith('.png')]) == 2 * 5  # 5 PNGs per pair
+
+
+@pytest.mark.parametrize('arch', ['FPN', 'DeepLabV3Plus', 'MAnet'])
+def test_cam_on_upsampled_head_archs(tmp_path, rng, arch):
+    """CAM must work for every zoo architecture, including decoders that
+    emit sub-resolution maps with an upsampling head (FPN 1/4, DeepLabV3+
+    1/4) and the attention decoder (MAnet) — the encode/decode tap contract
+    is arch-independent."""
+    from octseg.infer.engine import load_model_bundle
+
+    model_dir = make_model_dir(str(tmp_path), f'CAM_{arch}', ['Lumen'],
+                               arch=arch, input_size=64)
+    model, variables, _cfg = load_model_bundle(model_dir)
+    proc = CAMProcessor(model, variables, method='GradCAM')
+    img = rng.integers(0, 255, (64, 64, 3)).astype(np.float32)
+    mask = np.zeros((64, 64), np.float32)
+    mask[16:48, 16:48] = 1.0
+    cam = proc.extract_activation_map(img, category=0, mask=mask)
+    assert cam.shape == (64, 64)
+    assert np.isfinite(cam).all() and cam.min() >= 0 and cam.max() <= 1
