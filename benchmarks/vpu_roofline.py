@@ -110,6 +110,16 @@ def main():
           f'VPU {vpu / 1e12:.2f} TFLOP/s, HBM {hbm / 1e9:.0f} GB/s',
           flush=True)
 
+    # Degraded-pool guard: when the shared chip is time-sliced, every
+    # dispatch flattens to the slice granularity (floor observed 50-65 ms vs
+    # 4 ms calm) and the calibrated VPU ceiling collapses ~100x — any
+    # numbers taken then are meaningless. Refuse to write an artifact.
+    if floor > 0.010 or vpu < 0.5e12:
+        print(f'# POOL DEGRADED (floor {floor * 1e3:.1f} ms, VPU '
+              f'{vpu / 1e12:.2f} TFLOP/s) — aborting without writing '
+              f'vpu_roofline.json; rerun on a calm pool', flush=True)
+        sys.exit(2)
+
     rows = []
     skipped = []
     for (hh, c, k, s), count in sorted(b7_depthwise_stages().items(),
