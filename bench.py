@@ -75,11 +75,48 @@ def build(arch, encoder, classes, int8=False):
     return compiled, variables, flops
 
 
+def measure_dispatch_floor():
+    """Per-dispatch floor (s) of the shared pool: best-of-3 blocks of 8
+    trivial jitted dispatches. Calm ≈ 4 ms; a time-sliced pool flattens
+    every dispatch to 50-65 ms and makes all numbers meaningless."""
+    x = jax.device_put(jnp.ones((8, 8), jnp.float32))
+    f = jax.jit(lambda a: a + 1)
+    jax.device_get(f(x))  # compile
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(8):
+            out = f(x)
+        jax.device_get(out)
+        best = min(best, (time.perf_counter() - t0) / 8)
+    return best
+
+
+def wait_for_calm_pool(max_wait_s=1200.0, threshold_s=0.012):
+    """The shared chip pool is sometimes time-sliced for tens of minutes
+    (observed floor 4 -> 50-65 ms). A benchmark taken then records the
+    neighbors, not the machine — so wait (bounded) for the floor to drop
+    before measuring, and report the floor either way."""
+    import sys
+
+    deadline = time.time() + max_wait_s
+    floor = measure_dispatch_floor()
+    while floor > threshold_s and time.time() < deadline:
+        print(f'# pool degraded (dispatch floor {floor * 1e3:.1f} ms) — '
+              f'waiting up to {int(deadline - time.time())}s for calm',
+              file=sys.stderr, flush=True)
+        time.sleep(60)
+        floor = measure_dispatch_floor()
+    return floor
+
+
 def main():
     import numpy as np
 
     n_chips = jax.device_count()
     fns = [build(*spec) for spec in ENSEMBLE]
+    floor = wait_for_calm_pool()
     imgs = jax.device_put(jax.random.uniform(
         jax.random.PRNGKey(1), (BATCH, INPUT, INPUT, 3), jnp.float32, 0, 255))
     # single-element probe: forcing a host fetch is the only reliable sync on
@@ -149,6 +186,7 @@ def main():
         'int8_f_s': round(int8_fps, 2),
         'int8_speedup': round(int8_fps / fps_per_chip, 3) if int8_fps else 0.0,
         'train_img_s': round(train_img_s, 1),
+        'dispatch_floor_ms': round(floor * 1e3, 2),
     }))
 
 

@@ -15,9 +15,17 @@ import time
 import jax
 
 
+_probe = jax.jit(lambda y: y.reshape(-1)[0])
+
+
 def sync(out) -> float:
-    """Host-fetch a single element — the only true completion barrier."""
-    return float(jax.device_get(jax.jit(lambda y: y.reshape(-1)[0])(out)))
+    """Host-fetch a single element — the only true completion barrier.
+
+    The probe MUST be a module-level jit: a fresh `jax.jit(lambda ...)` per
+    call is a new callable identity, so every sync retraces and re-hits the
+    (remote, variably-loaded) compile service — measured as a phantom
+    40-60 ms "dispatch floor" that looks exactly like pool contention."""
+    return float(jax.device_get(_probe(out)))
 
 
 def timed(fn, *args, iters: int = 6, passes: int = 3) -> float:

@@ -9,10 +9,12 @@ dispatch, because the relay's per-dispatch floor is large and varies
 hour-to-hour (measured 4-65 ms); the floor itself is recorded:
 
 1. dispatch floor: a trivial jitted op, timed;
-2. VPU ceiling: a long fused multiply-add chain on a VMEM-resident block
-   (arithmetic >> floor);
-3. HBM ceiling: N chained full passes (y = y + 1) over a buffer far larger
-   than VMEM (traffic >> floor);
+2. VPU ceiling: the best hand-tuned Pallas elementwise-fma kernel found
+   (8 independent accumulator chains — see calibrate_vpu for the
+   alternatives measured and rejected);
+3. HBM ceiling: chained full passes over a 512 MB buffer with
+   lax.optimization_barrier between steps (or XLA fuses the chain into
+   one pass and 'beats' the HBM spec 5x);
 4. each distinct stride-1 depthwise conv shape of efficientnet-b7 at 512 px:
    y = dwconv(y, w) chained CHAIN times (stride-2 shapes cannot chain —
    they are 4 of ~50 blocks and excluded, noted in the artifact).
@@ -40,9 +42,9 @@ from octseg.models.encoders.efficientnet import (  # noqa: E402
     flattened_blocks,
 )
 
-BATCH = 16
+BATCH = int(__import__('os').environ.get('ROOFLINE_BATCH', 16))
 INPUT = 512
-CHAIN = 32
+CHAIN = int(__import__('os').environ.get('ROOFLINE_CHAIN', 32))
 ITERS, PASSES = 3, 3
 DTYPE = jnp.bfloat16
 
@@ -53,33 +55,63 @@ def measure_dispatch_floor():
 
 
 def calibrate_vpu():
-    """Non-foldable elementwise chain on a VMEM-resident block. The chain
-    must be NONLINEAR per step (y*y) — a constant multiply-add chain is
-    affine and XLA algebraically folds 4096 steps into one (observed)."""
-    x = jax.device_put(jnp.full((512, 1024), 0.5, DTYPE))
-    reps = 4096
+    """Best-achieved Pallas elementwise-fma throughput: the ceiling a
+    hand-written VPU kernel can realistically reach on this chip.
 
-    @jax.jit
-    def chain(x):
-        y = x
-        for _ in range(reps):
-            y = y * y + jnp.bfloat16(0.25)  # 2 flops/elem, not foldable
-        return y
+    Methodology notes (each alternative was measured and rejected):
+    - An XLA-level jnp chain measures 0.27 TFLOP/s — XLA splits the chain
+      into hundreds of tiny kernels and per-kernel overhead dominates.
+    - A single dependent Pallas chain (y = y*y + c) measures 0.8-1.3
+      TFLOP/s — fma LATENCY bound, one chain cannot fill the pipeline.
+    - 8 independent accumulator chains (ILP) at block (128, 256) is the
+      best found: ~2.0 TFLOP/s. This is the honest custom-kernel ceiling
+      to compare XLA's depthwise convs against (several already exceed
+      it — they have k*k-tap ILP an elementwise chain lacks)."""
+    from jax.experimental import pallas as pl
 
-    dt = timed(chain, x, iters=ITERS, passes=PASSES)
-    return 2.0 * reps * x.size / dt
+    reps, unroll, nacc = 256, 8, 8
+    rows, bm = 1024, (128, 256)
+
+    def kernel(x_ref, o_ref):
+        y = x_ref[...]
+        ks = [jnp.bfloat16(0.25) + jnp.bfloat16(0.01) * i for i in range(nacc)]
+        accs = tuple(y + jnp.bfloat16(0.001) * i for i in range(nacc))
+
+        def body(_, accs):
+            for _ in range(unroll):
+                accs = tuple(a * a + k for a, k in zip(accs, ks))
+            return accs
+
+        accs = jax.lax.fori_loop(0, reps // unroll, body, accs)
+        out = accs[0]
+        for a in accs[1:]:
+            out = out + a
+        o_ref[...] = out
+
+    x = jax.device_put(jnp.full((rows * bm[0], bm[1]), 0.5, DTYPE))
+    f = jax.jit(pl.pallas_call(
+        kernel,
+        grid=(rows,),
+        in_specs=[pl.BlockSpec(bm, lambda i: (i, 0))],
+        out_specs=pl.BlockSpec(bm, lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, DTYPE),
+    ))
+    dt = timed(f, x, iters=ITERS, passes=PASSES)
+    return 2.0 * nacc * reps * x.size / dt
 
 
 def calibrate_hbm():
-    """64 chained full passes over a 512 MB buffer (read+write each)."""
+    """Chained full passes over a 512 MB buffer with an optimization
+    barrier between steps — without it XLA fuses the whole chain into one
+    read+write pass and 'measures' 5x the HBM spec (observed)."""
     x = jax.device_put(jnp.ones((256, 1024, 1024), DTYPE))  # 512 MB bf16
-    reps = 48
+    reps = 16
 
     @jax.jit
     def chain(x):
         y = x
         for _ in range(reps):
-            y = y + jnp.bfloat16(1.0)
+            y = jax.lax.optimization_barrier(y + jnp.bfloat16(1.0))
         return y
 
     dt = timed(chain, x, iters=ITERS, passes=PASSES)
@@ -159,21 +191,33 @@ def main():
     total_ms = sum(r['ms'] * r['count'] for r in rows)
     weighted_util = sum(
         r['util'] * r['ms'] * r['count'] for r in rows) / max(total_ms, 1e-9)
+    # headroom: what a PERFECT Pallas depthwise kernel running at the
+    # hand-tuned elementwise ceiling would save (shapes already above the
+    # ceiling — the convs have k*k-tap ILP — contribute zero)
+    saved_ms = sum(
+        max(0.0, r['ms'] - (r['tflops'] * r['ms'] / (vpu / 1e12)))
+        * r['count'] for r in rows)
     out = {
         'device': str(jax.devices()[0]),
         'dispatch_floor_ms': round(floor * 1e3, 2),
-        'calibrated_vpu_tflops': round(vpu / 1e12, 2),
+        'pallas_vpu_ceiling_tflops': round(vpu / 1e12, 2),
         'calibrated_hbm_gb_s': round(hbm / 1e9, 1),
         'batch': BATCH, 'input': INPUT, 'chain': CHAIN,
         'rows': rows,
         'skipped_stride2_stages': skipped,
-        'total_s1_depthwise_ms_per_b16_block': round(total_ms, 1),
+        'total_s1_depthwise_ms_per_block': round(total_ms, 1),
         'time_weighted_roofline_util': round(weighted_util, 3),
+        'perfect_pallas_depthwise_would_save_ms_per_block':
+            round(saved_ms, 1),
+        'saved_fraction_of_depthwise': round(saved_ms / max(total_ms, 1e-9), 3),
         'conclusion': (
-            'stride-1 depthwise stages at/near the measured roofline — no '
-            'headroom without an algorithm change' if weighted_util > 0.7
-            else 'headroom exists below the roofline — a Pallas depthwise '
-                 'kernel is worth attempting'),
+            f'a perfect Pallas depthwise kernel at the measured hand-kernel '
+            f'VPU ceiling would save {saved_ms:.1f} ms of {total_ms:.1f} ms '
+            f's1-depthwise per b{BATCH} block '
+            f'({saved_ms / max(total_ms, 1e-9):.0%} of depthwise; several '
+            f'XLA conv shapes already exceed the elementwise ceiling) — '
+            + ('worth attempting' if saved_ms / max(total_ms, 1e-9) > 0.4
+               else 'not worth a custom kernel')),
     }
     path = os.path.join(os.path.dirname(__file__), 'vpu_roofline.json')
     with open(path, 'w') as f:
