@@ -181,6 +181,10 @@ def main():
         'value': round(headline, 2),
         'unit': 'frames/s/chip',
         'vs_baseline': round(headline / TARGET_FPS_PER_CHIP, 3),
+        # which run produced 'value' (the int8 phase runs at b64; 'mfu' is
+        # always derived from the bf16 b128 run)
+        'headline_mode': (f'int8_b{BATCH // 2}' if int8_fps > fps_per_chip
+                          else f'bf16_b{BATCH}'),
         'mfu': round(mfu, 4),
         'bf16_f_s': round(fps_per_chip, 2),
         'int8_f_s': round(int8_fps, 2),
@@ -196,23 +200,22 @@ def _int8_subprocess() -> float:
     import subprocess
     import sys
 
-    for batch in (BATCH // 2,):  # b128 deterministically OOMs (int32 temps)
-        try:
-            proc = subprocess.run(
-                [sys.executable, '-u', os.path.abspath(__file__),
-                 '--int8-phase', str(batch)],
-                capture_output=True, text=True, timeout=2400,
-            )
-            sys.stderr.write(proc.stderr)
-            if proc.returncode == 0 and proc.stdout.strip():
-                fps = float(json.loads(proc.stdout.strip().splitlines()[-1])
-                            ['int8_f_s'])
-                if batch != BATCH:
-                    print(f'# int8 measured at b{batch} (b{BATCH} OOM)',
-                          file=sys.stderr, flush=True)
-                return fps
-        except Exception as e:
-            print(f'# int8 subprocess failed: {e}', file=sys.stderr, flush=True)
+    batch = BATCH // 2  # b128 deterministically OOMs (int32 conv temps)
+    try:
+        proc = subprocess.run(
+            [sys.executable, '-u', os.path.abspath(__file__),
+             '--int8-phase', str(batch)],
+            capture_output=True, text=True, timeout=2400,
+        )
+        sys.stderr.write(proc.stderr)
+        if proc.returncode == 0 and proc.stdout.strip():
+            fps = float(json.loads(proc.stdout.strip().splitlines()[-1])
+                        ['int8_f_s'])
+            print(f'# int8 measured at b{batch} (b{BATCH} OOMs)',
+                  file=sys.stderr, flush=True)
+            return fps
+    except Exception as e:
+        print(f'# int8 subprocess failed: {e}', file=sys.stderr, flush=True)
     return 0.0
 
 

@@ -73,9 +73,17 @@ def bench_model(arch, enc, classes, batch):
         fl_enc = float(encc.cost_analysis().get('flops', 0.0))
         row['encoder_ms'] = round(t_enc * 1e3, 1)
         row['encoder_mfu'] = round(fl_enc / t_enc / V5E_BF16_PEAK, 3)
-        row['decoder_ms'] = round((t_full - t_enc) * 1e3, 1)
-        row['decoder_mfu'] = round(
-            (fl_full - fl_enc) / (t_full - t_enc) / V5E_BF16_PEAK, 3)
+        # decoder time is a SUBTRACTION of two independent measurements on
+        # a shared pool (~20% swing): a degraded window between the two can
+        # make it meaningless — refuse rather than record nonsense
+        if t_full > t_enc * 1.05:
+            row['decoder_ms'] = round((t_full - t_enc) * 1e3, 1)
+            row['decoder_mfu'] = round(
+                (fl_full - fl_enc) / (t_full - t_enc) / V5E_BF16_PEAK, 3)
+        else:
+            row['decoder_ms'] = None
+            row['note'] = ('full/encoder timings inconsistent (pool noise '
+                           'between the two measurements) — rerun')
     print(row, flush=True)
     return row
 

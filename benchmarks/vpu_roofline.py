@@ -42,9 +42,9 @@ from octseg.models.encoders.efficientnet import (  # noqa: E402
     flattened_blocks,
 )
 
-BATCH = int(__import__('os').environ.get('ROOFLINE_BATCH', 16))
+BATCH = int(os.environ.get('ROOFLINE_BATCH', 128))
 INPUT = 512
-CHAIN = int(__import__('os').environ.get('ROOFLINE_CHAIN', 32))
+CHAIN = int(os.environ.get('ROOFLINE_CHAIN', 8))
 ITERS, PASSES = 3, 3
 DTYPE = jnp.bfloat16
 

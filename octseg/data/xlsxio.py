@@ -16,7 +16,6 @@ Dates are returned as raw serial numbers (the aggregator drops them).
 from __future__ import annotations
 
 import numbers
-import re
 import zipfile
 from typing import Any, Dict, List, Optional
 from xml.etree import ElementTree as ET
@@ -136,7 +135,6 @@ def _col_name(idx: int) -> str:
     return name
 
 
-_NUM_RE = re.compile(r'^-?\d+(\.\d+)?([eE][+-]?\d+)?$')
 
 
 def write_xlsx(path: str, rows: List[List[Any]], sheet: str = 'Sheet1') -> None:
@@ -179,7 +177,8 @@ def write_xlsx(path: str, rows: List[List[Any]], sheet: str = 'Sheet1') -> None:
         f'<workbook xmlns="{_NS[1:-1]}" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
         'relationships"><sheets>'
-        f'<sheet name="{escape(sheet)}" sheetId="1" r:id="rId1"/>'
+        f'<sheet name="{escape(sheet, {chr(34): "&quot;"})}" '
+        'sheetId="1" r:id="rId1"/>'
         '</sheets></workbook>'
     )
     wb_rels = (

@@ -235,16 +235,14 @@ class InferenceEngine:
             try:
                 return runner(variables, chunk)
             except Exception as e:
-                # the probe executable committed input layouts/shardings at
-                # lower() time; only that mismatch falls back to jit — a real
-                # runtime failure (device OOM, bad input) must surface, not
-                # silently recompile
-                msg = str(e).lower()
-                if not any(s in msg for s in
-                           ('layout', 'sharding', 'donat', 'incompatible')):
-                    raise
+                # The probe executable committed input layouts/shardings at
+                # lower() time; a mismatch must fall back to jit. The exact
+                # exception type/wording is jaxlib-version-dependent, so the
+                # fallback is broad BUT loud — and nothing is masked: a
+                # genuine runtime failure (bad input, device fault)
+                # reproduces on the jit path below and raises from there.
                 log.warning('compiled runner rejected the input (%s) — '
-                            'falling back to jit', str(e).splitlines()[0][:120])
+                            'falling back to jit', str(e).splitlines()[0][:160])
         return fn(variables, chunk)
 
     def run_model(

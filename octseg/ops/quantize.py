@@ -64,11 +64,18 @@ def quantized_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias, conv: nn.Conv):
     wq = jnp.clip(jnp.round(kernel.astype(jnp.float32) * (127.0 / sw)),
                   -127, 127).astype(jnp.int8)
 
+    # flax nn.Conv accepts: str | int | sequence of (int | (lo, hi) pair)
     padding = conv.padding
     if isinstance(padding, str):
         pad = padding
+    elif isinstance(padding, int):
+        pad = ((padding, padding),) * 2
     else:
-        pad = tuple((int(lo), int(hi)) for lo, hi in padding)
+        pad = tuple(
+            (int(p), int(p)) if isinstance(p, int) else (int(p[0]), int(p[1]))
+            for p in padding)
+        if len(pad) == 1:
+            pad = pad * 2
     y = jax.lax.conv_general_dilated(
         xq, wq,
         window_strides=_pair(conv.strides),

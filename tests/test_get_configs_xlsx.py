@@ -42,6 +42,15 @@ def test_xlsx_roundtrip(tmp_path):
     assert recs[0]['Name'] == 'a & b' and recs[0]['Score'] == 1.5
 
 
+def test_xlsx_sheet_name_needs_attribute_escaping(tmp_path):
+    # '"' inside an XML attribute is only safe as &quot; — saxutils.escape
+    # does not escape it by default (a workbook with a quoted sheet name
+    # used to be emitted as malformed XML)
+    p = str(tmp_path / 'quoted.xlsx')
+    write_xlsx(p, [['A'], [1]], sheet='Q"4 <res>&')
+    assert read_xlsx(p) == [['A'], [1]]
+
+
 def test_xlsx_records_blank_header(tmp_path):
     # pandas names blank header cells 'Unnamed: {i}' — the W&B export index
     # column arrives that way and the aggregator renames it to ID

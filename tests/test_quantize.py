@@ -28,6 +28,10 @@ def _rand(shape, seed=0):
 @pytest.mark.parametrize('strides,padding,bias', [
     ((1, 1), ((1, 1), (1, 1)), True),
     ((2, 2), 'SAME', False),
+    # flax also accepts int and per-dim-int padding — the int8 path must
+    # replicate those, not crash unpacking them
+    ((1, 1), 1, False),
+    ((1, 1), (2, 1), True),
 ])
 def test_quantized_conv_close_to_fp32(strides, padding, bias):
     x = _rand((2, 16, 16, 64))
