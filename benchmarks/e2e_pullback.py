@@ -108,7 +108,7 @@ def main():
         t_compute += time.perf_counter() - t0
 
     n_chips = jax.device_count()
-    print(json.dumps({
+    out = {
         'n_frames': n_frames,
         'frame_size': frame_size,
         'n_chips': n_chips,
@@ -119,7 +119,12 @@ def main():
         'compute_frames_per_s_per_chip': round(n_frames / t_compute / n_chips, 1),
         'est_v5e8_total_s': round(t_decode + t_compute * n_chips / 8, 3),
         'mask_shape': list(masks.shape),
-    }))
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'e2e_pullback.json')
+    with open(path, 'w') as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':
