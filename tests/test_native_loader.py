@@ -38,3 +38,19 @@ def test_native_loader_shuffles_between_epochs(fold):
     np.testing.assert_allclose(
         np.sort(e1.sum(axis=(1, 2, 3))), np.sort(e2.sum(axis=(1, 2, 3))), rtol=1e-6
     )
+
+
+@pytest.mark.skipif(not native_available(), reason='no native toolchain')
+def test_native_loader_surfaces_decode_errors(tmp_path):
+    """A corrupt PNG must raise a clean IOError through the poisoned-batch
+    protocol (dataloader.cc batch.count = -1), never crash the process."""
+    root = make_fold(str(tmp_path / 'fold'), n_train=4, n_test=1, size=48)
+    # truncate one image mid-stream
+    victim = f'{root}/train/img/001.png'
+    blob = open(victim, 'rb').read()
+    with open(victim, 'wb') as f:
+        f.write(blob[: len(blob) // 2])
+    ds = OCTDataset(f'{root}/train', ['Lumen'], input_size=48)
+    loader = NativeLoader(ds, batch_size=4, shuffle=False, seed=0)
+    with pytest.raises(IOError):
+        list(loader)
