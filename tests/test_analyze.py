@@ -189,3 +189,32 @@ def test_draw_boxplots(tmp_path):
     best = pd.read_csv(save_dir / 'best_metrics.csv')
     assert {'Lumen', 'Vasa vasorum', 'Mean'} >= set(best['Class'])
     assert 'Fold' in best.columns
+
+
+def test_app_malformed_upload_survives(demo_dir):
+    """A corrupt DICOM upload must come back as a 500 with the error text,
+    and the server must keep serving other requests afterwards — the worker
+    must never die on user input (reference app has no inference upload at
+    all; this is octseg's working path)."""
+    from octseg.analyze.app import serve
+    from octseg.core.config import Config
+
+    server = serve(
+        Config(host='127.0.0.1', port=0, demo_dir=demo_dir), block=False
+    )
+    host, port = server.server_address
+    try:
+        base = f'http://{host}:{port}'
+        req = urllib.request.Request(
+            f'{base}/analyze?mode=inference', data=b'\x00garbage\xff' * 100,
+            method='POST')
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 500
+        # server still alive and functional
+        req2 = urllib.request.Request(f'{base}/analyze?mode=demo',
+                                      method='POST')
+        info = json.loads(urllib.request.urlopen(req2).read())
+        assert info['n_frames'] == 8
+    finally:
+        server.shutdown()

@@ -185,3 +185,29 @@ def test_block_sizing_halves_under_tight_budget(tmp_path, monkeypatch):
     fn2, v2, _ = eng2._forward_fn('LM', 64, 64)
     bs2, _ = eng2._block_for('LM', fn2, v2, (64, 64, 64, 3), 'float32')
     assert bs2 == eng2.block_size  # generous budget: full block
+
+
+def test_engine_int8_flag_end_to_end(models_dir, rng):
+    """The opt-in int8 engine mode must produce valid masks through the
+    full routing path and stay close to the exact path (accuracy artifact:
+    eval/synth_fullscale/int8_accuracy.json, max |dDice| 5.4e-05)."""
+    from octseg.infer.engine import InferenceEngine
+
+    images = [
+        Image.fromarray(rng.integers(0, 255, (72, 72, 3), dtype=np.uint8))
+        for _ in range(3)
+    ]
+    masks = [np.zeros((64, 64, 4)) for _ in images]
+    exact = InferenceEngine(models_dir, classes=['Lumen'], block_size=4)
+    quant = InferenceEngine(models_dir, classes=['Lumen'], block_size=4,
+                            int8=True)
+    out_e = exact.segment(images, list(masks), output_size=[64, 64])
+    out_q = quant.segment(images, list(masks), output_size=[64, 64])
+    assert len(out_q) == 3
+    for me, mq in zip(out_e, out_q):
+        assert mq.shape == me.shape
+        assert set(np.unique(mq)) <= {0.0, 1.0}
+        # sigmoid(logit)>0.5 decisions flip only near the boundary; the two
+        # paths must agree on the overwhelming majority of pixels
+        agree = float((me == mq).mean())
+        assert agree > 0.98, agree
