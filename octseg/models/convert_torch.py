@@ -19,13 +19,20 @@ Supported:
   ``_conv_stem/_bn0``, flat ``_blocks.{i}._expand_conv/_depthwise_conv/
   _se_reduce/_se_expand/_project_conv`` with TF-SAME padding and BN eps 1e-3,
   both preserved by octseg's EfficientNetEncoder),
-- decoders: Unet (``decoder.blocks.{i}.conv{1,2}.{0,1}``), UnetPlusPlus
-  (``decoder.blocks.x_{d}_{l}.conv{1,2}.{0,1}``), Linknet
-  (``decoder.blocks.{i}.block.{0,2}.{0,1}`` + TransposeX2 ``block.1``),
+- decoders: all nine the reference sweeps (src/models/smp/model.py:38-44,
+  configs/tune.yaml:10-19) — Unet (``decoder.blocks.{i}.conv{1,2}.{0,1}``),
+  UnetPlusPlus (``decoder.blocks.x_{d}_{l}.conv{1,2}.{0,1}``), Linknet
+  (``decoder.blocks.{i}.block.{0,2}.{0,1}`` + TransposeX2 ``block.1``), FPN,
+  PSPNet, PAN, MAnet, DeepLabV3, DeepLabV3+ (each octseg decoder is
+  SMP-channel-exact, incl. PAN's flattened-softmax PAB quirks and
+  align_corners=True head upsampling),
 - segmentation head (``segmentation_head.0``).
 
-Together these cover all three winning reference model dirs (LM: U-Net++/
-resnet101, FC_LC: LinkNet/efficientnet-b7, VV: U-Net/timm-regnetx_064).
+Any trained reference checkpoint — including the three shipped model dirs
+(LM: U-Net++/resnet101, FC_LC: LinkNet/efficientnet-b7,
+VV: U-Net/timm-regnetx_064) — converts in place:
+
+    python -m octseg.models.convert_torch <ref_model_dir> <octseg_model_dir>
 
 Layout conventions:
 - torch Conv2d weight OIHW  -> flax kernel HWIO (transpose 2,3,1,0),
@@ -494,3 +501,27 @@ def load_pretrained_encoder(
     out['params']['encoder'] = enc_params
     out['batch_stats']['encoder'] = enc_stats
     return out
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    """CLI: convert a reference model dir (torch weights.ckpt + config.json)
+    into an octseg model dir with the same contract — the one-command
+    migration path for users with trained reference checkpoints."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description='Convert a reference (torch/SMP) model dir to octseg.')
+    parser.add_argument('torch_model_dir',
+                        help='reference model dir (config.json + weights.ckpt)')
+    parser.add_argument('out_model_dir', help='output octseg model dir')
+    parser.add_argument('--input-size', type=int, default=None,
+                        help='override config.json input_size for shape checks')
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format='%(message)s')
+    out = convert_reference_model_dir(
+        args.torch_model_dir, args.out_model_dir, input_size=args.input_size)
+    print(out)
+
+
+if __name__ == '__main__':
+    main()

@@ -18,7 +18,6 @@ torch = pytest.importorskip('torch')
 from octseg.models import create_model  # noqa: E402
 from octseg.models.convert_torch import (  # noqa: E402
     convert_checkpoint,
-    convert_reference_model_dir,
     load_pretrained_encoder,
     load_torch_state_dict,
 )
@@ -115,7 +114,11 @@ def test_reference_model_dir_roundtrip(tmp_path):
             f,
         )
 
-    out = convert_reference_model_dir(str(tdir), str(tmp_path / 'LM'))
+    # through the migration CLI (python -m octseg.models.convert_torch)
+    from octseg.models.convert_torch import main as convert_cli
+
+    convert_cli([str(tdir), str(tmp_path / 'LM')])
+    out = str(tmp_path / 'LM')
     from octseg.infer.engine import load_model_bundle
 
     model, variables, cfg = load_model_bundle(out)
