@@ -449,7 +449,13 @@ def convert_reference_model_dir(
     sd = load_torch_state_dict(os.path.join(torch_model_dir, 'weights.ckpt'))
     variables = convert_checkpoint(sd, cfg['architecture'], cfg['encoder'])
 
-    size = int(input_size or cfg['input_size'])
+    if input_size is not None:
+        cfg['input_size'] = int(input_size)  # emitted manifest must agree
+    elif 'input_size' not in cfg:
+        raise ValueError(
+            f'{torch_model_dir}/config.json has no input_size — pass '
+            f'--input-size (it is written into the converted manifest)')
+    size = int(cfg['input_size'])
     model = create_model(cfg['architecture'], cfg['encoder'],
                          classes=len(cfg['classes']))
     ref = jax.eval_shape(
@@ -508,6 +514,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     into an octseg model dir with the same contract — the one-command
     migration path for users with trained reference checkpoints."""
     import argparse
+    import sys
 
     parser = argparse.ArgumentParser(
         description='Convert a reference (torch/SMP) model dir to octseg.')
@@ -515,13 +522,20 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                         help='reference model dir (config.json + weights.ckpt)')
     parser.add_argument('out_model_dir', help='output octseg model dir')
     parser.add_argument('--input-size', type=int, default=None,
-                        help='override config.json input_size for shape checks')
+                        help='override config.json input_size (also written '
+                             'into the emitted config.json)')
     args = parser.parse_args(argv)
-    logging.basicConfig(level=logging.INFO, format='%(message)s')
+    try:
+        import torch  # noqa: F401 — only the one-time conversion needs it
+    except ImportError:
+        sys.exit('reading a reference weights.ckpt requires torch (CPU build '
+                 'is enough): pip install torch --index-url '
+                 'https://download.pytorch.org/whl/cpu')
     out = convert_reference_model_dir(
         args.torch_model_dir, args.out_model_dir, input_size=args.input_size)
     print(out)
 
 
 if __name__ == '__main__':
+    logging.basicConfig(level=logging.INFO, format='%(message)s')
     main()

@@ -131,6 +131,12 @@ def test_reference_model_dir_roundtrip(tmp_path):
         want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     assert np.abs(got.transpose(0, 3, 1, 2) - want).max() < 2e-3
 
+    # --input-size override must land in the emitted manifest (the engine
+    # reads input_size from the converted config.json)
+    convert_cli([str(tdir), str(tmp_path / 'LM32'), '--input-size', '32'])
+    with open(tmp_path / 'LM32' / 'config.json') as f:
+        assert json.load(f)['input_size'] == 32
+
 
 def test_pretrained_encoder_merge():
     """ImageNet-encoder path: bare torchvision state dict merges into fresh
