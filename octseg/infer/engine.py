@@ -97,6 +97,11 @@ class InferenceEngine:
         self.block_size = quota * self.n_devices
         self._bundles: Dict[str, tuple] = {}
         self._blocks: Dict[tuple, int] = {}
+        # per-instance caches (a class-level lru_cache would key on self and
+        # pin every engine's device-resident params forever — the analyze app
+        # builds an engine per upload)
+        self._fns: Dict[tuple, tuple] = {}
+        self._slicers: Dict[int, object] = {}
 
     def _bundle(self, model_dir_name: str):
         if model_dir_name not in self._bundles:
@@ -145,9 +150,11 @@ class InferenceEngine:
             return True, compiled
         return need <= (budget if budget is not None else self.HBM_BUDGET), compiled
 
-    @functools.lru_cache(maxsize=None)
     def _forward_fn(self, model_dir_name: str, out_h: int, out_w: int,
                     device_preprocess: bool = False):
+        cache_key = (model_dir_name, out_h, out_w, device_preprocess)
+        if cache_key in self._fns:
+            return self._fns[cache_key]
         model, variables, model_cfg = self._bundle(model_dir_name)
         data_shard = batch_sharding(self.mesh)
         repl = replicated_sharding(self.mesh)
@@ -183,10 +190,11 @@ class InferenceEngine:
         fn = jax.jit(forward, in_shardings=(repl, data_shard), out_shardings=data_shard)
         variables = jax.device_put(variables, repl)
         self._bundles[model_dir_name] = (model, variables, model_cfg)
+        self._fns[cache_key] = (fn, variables, model_cfg)
         return fn, variables, model_cfg
 
     def _block_for(self, model_dir_name: str, fn, variables, frame_shape,
-                   dtype, extra_resident: int = 0):
+                   dtype, extra_resident: int = 0, fn_key: tuple = ()):
         """(block, runner): the largest block size (engine block halved until
         it fits, ≥ mesh size) whose compiled program fits HBM — decided from
         XLA's memory analysis, never by trial execution (896-px models OOM a
@@ -199,8 +207,12 @@ class InferenceEngine:
         budget = self.HBM_BUDGET - self._resident_bytes() - extra_resident
         # the budget is part of the key: a block sized while only one model
         # was resident may not fit once all three are — quantized to 256 MB
-        # so float jitter can't fragment the cache
-        key = (model_dir_name, tuple(frame_shape[1:]), str(dtype),
+        # so float jitter can't fragment the cache. fn_key distinguishes
+        # forward variants (output size, device preprocess) that share a
+        # frame shape: a runner compiled for one output size must never be
+        # reused for another (it would execute fine and return wrong-shape
+        # masks).
+        key = (model_dir_name, fn_key, tuple(frame_shape[1:]), str(dtype),
                int(budget) // (256 * 2 ** 20))
         if key in self._blocks:
             return self._blocks[key]
@@ -209,8 +221,23 @@ class InferenceEngine:
         while True:
             sample = jax.ShapeDtypeStruct((bs, *frame_shape[1:]), dtype)
             ok, runner = self._fits(fn, variables, (sample,), budget)
-            if ok or bs <= self.n_devices:
+            if ok:
                 break
+            if bs <= self.n_devices:
+                if runner is None:
+                    # compile itself failed at the smallest block: break so
+                    # the jit fallback in _run surfaces the real error (it
+                    # may be a non-memory compile problem)
+                    break
+                # compiled but over budget: executing a program
+                # memory_analysis rejected would OOM the chip (and kill a
+                # relay client) — refuse instead
+                raise RuntimeError(
+                    f'{model_dir_name}: does not fit the HBM budget '
+                    f'({budget / 2 ** 30:.1f} GiB free of '
+                    f'{self.HBM_BUDGET / 2 ** 30:.1f}) even at the minimum '
+                    f'block size {bs}; unload other models or shrink the '
+                    f'resident pullback')
             log.info('%s: block %d exceeds the HBM budget — halving',
                      model_dir_name, bs)
             bs //= 2
@@ -218,16 +245,17 @@ class InferenceEngine:
         self._blocks[key] = (bs, runner)
         return bs, runner
 
-    @functools.lru_cache(maxsize=None)
     def _slicer(self, block: int):
         """Jitted frame-axis slicer with a pinned output sharding, cached per
         block size so repeated pullbacks reuse the compiled program instead
         of re-tracing (compiles cost seconds on a relay-attached chip)."""
-        return jax.jit(
-            functools.partial(
-                jax.lax.dynamic_slice_in_dim, slice_size=block, axis=0),
-            out_shardings=batch_sharding(self.mesh),
-        )
+        if block not in self._slicers:
+            self._slicers[block] = jax.jit(
+                functools.partial(
+                    jax.lax.dynamic_slice_in_dim, slice_size=block, axis=0),
+                out_shardings=batch_sharding(self.mesh),
+            )
+        return self._slicers[block]
 
     @staticmethod
     def _run(runner, fn, variables, chunk):
@@ -252,18 +280,22 @@ class InferenceEngine:
         out_h, out_w = int(output_size[0]), int(output_size[1])
         fn, variables, model_cfg = self._forward_fn(model_dir_name, out_h, out_w)
         input_size = model_cfg['input_size']
-        frames = np.stack(
-            [preprocessing_img(img.copy(), input_size) for img in images]
-        ).astype(np.float32)
-        n = frames.shape[0]
+        n = len(images)
         outs = []
         bs, runner = self._block_for(
             model_dir_name, fn, variables,
             (self.block_size, input_size, input_size, 3), jnp.float32,
+            fn_key=(out_h, out_w, False),
         )
         data_shard = batch_sharding(self.mesh)
         for start in range(0, n, bs):
-            chunk = frames[start:start + bs]
+            # preprocess per block: one whole-pullback float32 stack would
+            # transiently hold N*input_size^2*12 bytes on the host (1.6 GB
+            # for a 500-frame pullback at 512 px)
+            chunk = np.stack(
+                [preprocessing_img(img.copy(), input_size)
+                 for img in images[start:start + bs]]
+            ).astype(np.float32)
             pad = bs - chunk.shape[0]
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
@@ -313,6 +345,7 @@ class InferenceEngine:
                 # the pullback is batch-sharded: per-device share only
                 extra_resident=int(frames.size) * frames.dtype.itemsize
                 // self.n_devices,
+                fn_key=(out_h, out_w, True),
             )
             # slice on device under jit with an explicit output sharding: an
             # eager dynamic_slice of a 'data'-sharded array yields an

@@ -365,7 +365,13 @@ struct Loader {
   }
 
   void stop() {
-    stopping = true;
+    {
+      // the flag must flip under mu: a worker that already evaluated the
+      // cv_space predicate (under mu) but has not yet blocked would miss a
+      // bare notify — lost wakeup, and join() below hangs forever
+      std::lock_guard<std::mutex> lock(mu);
+      stopping = true;
+    }
     cv_space.notify_all();
     cv_ready.notify_all();
     for (auto& t : workers) t.join();

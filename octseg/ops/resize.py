@@ -29,9 +29,20 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
 
 
 def _nearest_indices(out_size: int, in_size: int) -> jnp.ndarray:
-    scale = in_size / out_size
-    idx = jnp.floor(jnp.arange(out_size, dtype=jnp.float32) * scale).astype(jnp.int32)
-    return jnp.clip(idx, 0, in_size - 1)
+    """cv2 resizeNN source index per output index, bit-exact.
+
+    OpenCV computes inv_scale = double(out)/in, then the mapping scale as
+    1.0/inv_scale — the DOUBLE-ROUNDED reciprocal, not in/out — and takes
+    cvFloor(x*scale) (modules/imgproc/src/resize.cpp resizeNN). Both the
+    reciprocal trick and the double precision matter: floor(x*(in/out)) or
+    any float32 form is off by one row/col for hundreds of size pairs
+    (e.g. 63->35 at x=15: cv2 26, exact rational 27). Sizes are static, so
+    the indices are computed on host in float64 and constant-folded."""
+    import numpy as np
+
+    scale = 1.0 / (out_size / in_size)
+    idx = np.floor(np.arange(out_size, dtype=np.float64) * scale).astype(np.int32)
+    return jnp.asarray(np.clip(idx, 0, in_size - 1))
 
 
 def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:

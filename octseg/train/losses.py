@@ -17,9 +17,16 @@ def dice_loss_from_logits(
     targets: jnp.ndarray,  # (N, H, W, C) in {0, 1}
     smooth: float = 0.0,
     eps: float = 1e-7,
+    valid: jnp.ndarray = None,  # (N,) 0/1 — excludes mesh-padding samples
 ) -> jnp.ndarray:
     probs = jax.nn.sigmoid(logits.astype(jnp.float32))
     targets = targets.astype(jnp.float32)
+    if valid is not None:
+        # zeroing padded samples before the joint sums gives exactly the
+        # loss an unpadded batch of the real samples would produce
+        v = valid.astype(jnp.float32)[:, None, None, None]
+        probs = probs * v
+        targets = targets * v
     # aggregate over batch and spatial dims jointly (smp dims=(0, 2) on
     # (N, C, HW) — i.e. one dice score per class over the whole batch)
     intersection = jnp.sum(probs * targets, axis=(0, 1, 2))

@@ -41,7 +41,7 @@ log = logging.getLogger(__name__)
 
 
 def _loss_and_metrics(model, params, batch_stats, imgs, masks, train: bool,
-                      dropout_key=None, remat: bool = False):
+                      dropout_key=None, remat: bool = False, valid=None):
     # remat (activation checkpointing) is PER-BLOCK, enabled model-wide via
     # octseg.models.rematutil (train_model sets it from cfg.remat): a
     # whole-apply jax.checkpoint saves nothing at peak — the backward
@@ -59,7 +59,7 @@ def _loss_and_metrics(model, params, batch_stats, imgs, masks, train: bool,
     else:
         logits = model.apply(variables, x, train=False)
         new_stats = batch_stats
-    loss = dice_loss_from_logits(logits, masks)
+    loss = dice_loss_from_logits(logits, masks, valid=valid)
     return loss, (logits, new_stats)
 
 
@@ -89,9 +89,13 @@ def make_train_step(model, use_augmentation: bool, remat: bool = False,
 
 
 def make_eval_step(model):
-    def eval_step(state: TrainState, imgs, masks):
+    def eval_step(state: TrainState, imgs, masks, valid):
+        # valid masks out mesh-padding samples: the scalar loss then equals
+        # the unpadded batch's loss (per-sample metric rows are sliced back
+        # on the host)
         loss, (logits, _) = _loss_and_metrics(
-            model, state.params, state.batch_stats, imgs, masks, False
+            model, state.params, state.batch_stats, imgs, masks, False,
+            valid=valid,
         )
         pred = sigmoid_threshold(logits)
         return compute_metrics(pred, masks, loss)
@@ -125,7 +129,12 @@ def dump_epoch_examples(cfg, model, state, model_dir, classes, epoch) -> None:
                         interpolation=cv2.INTER_NEAREST)
         if gt.ndim == 2:
             gt = gt[:, :, None]
-        logits = model.apply(variables, jnp.asarray(img[None], jnp.float32), train=False)
+        # normalize exactly like the train/eval steps (the reference dumps
+        # through predict(), which SKIPS its mean/std — a quirk of the torch
+        # model, model.py:183-200; octseg-trained manifests say
+        # normalize: true, so the dump must match this model's own contract)
+        x = normalize_imagenet(jnp.asarray(img[None], jnp.float32))
+        logits = model.apply(variables, x, train=False)
         pred = np.asarray(logits[0]) > 0
         panel_gt = np.full_like(img, 128)
         panel_pred = np.full_like(img, 128)
@@ -220,7 +229,8 @@ def train_model(
         donate_argnums=(0,),
     )
     eval_step = jax.jit(
-        make_eval_step(model), in_shardings=(None, data_shard, data_shard)
+        make_eval_step(model),
+        in_shardings=(None, data_shard, data_shard, data_shard),
     )
 
     use_native = cfg.get('native_loader', 'auto')
@@ -244,20 +254,35 @@ def train_model(
             seed=cfg.get('seed', 11),
         )
     val_loader = PrefetchLoader(val_set, cfg.batch_size, shuffle=False, drop_last=False)
+    if len(train_loader) == 0:
+        raise ValueError(
+            f'train split has {len(train_set)} samples — smaller than '
+            f'batch_size {cfg.batch_size} (drop_last): nothing to train on')
 
     start_epoch = 1
     best = {'val_loss': float('inf')}
     best_metrics: dict = {}
+    summary: dict = {}
     resume_path = os.path.join(model_dir, 'resume.ckpt')
     if cfg.get('resume', False) and os.path.exists(resume_path):
         state, last_epoch, extra = ckpt.load_resume(resume_path, state)
         state = replicate(state, mesh)
         start_epoch = last_epoch + 1
         best['val_loss'] = extra.get('best_val_loss', float('inf'))
+        best_metrics = dict(extra.get('best_metrics', {}))
+        # the shuffle sequence continues where the crashed run stopped (the
+        # loaders draw permutation rng(seed + epoch) per __iter__)
+        train_loader.epoch = last_epoch
+        # an already-finished run must still return a usable summary
+        summary = {
+            'best_val_loss': best['val_loss'],
+            'last_val_f1': float(extra.get('last_val_f1', 0.0)),
+            'best_metrics': best_metrics,
+            'epochs_done': last_epoch,
+        }
         log.info('Resumed from %s at epoch %d', resume_path, last_epoch)
 
     scalar_logger = ScalarLogger(model_dir)
-    summary = {}
     for epoch in range(start_epoch, int(cfg.epochs) + 1):
         t0 = time.time()
         # Metrics stay ON DEVICE all epoch and are fetched once, stacked:
@@ -291,12 +316,19 @@ def train_model(
             n = imgs.shape[0]
             pad = (-n) % n_mesh
             if pad:  # pad partial batches to the mesh, then drop the padding
-                imgs = np.concatenate([imgs, imgs[:pad]], axis=0)
-                masks = np.concatenate([masks, masks[:pad]], axis=0)
+                # wrap the indices: the last batch can be SMALLER than the
+                # pad amount (n=1 on a 4-mesh needs 3 pad rows)
+                idx = np.arange(pad) % n
+                imgs = np.concatenate([imgs, imgs[idx]], axis=0)
+                masks = np.concatenate([masks, masks[idx]], axis=0)
+            valid = np.ones(imgs.shape[0], np.float32)
+            if pad:
+                valid[n:] = 0.0
             m = eval_step(
                 state,
                 jax.device_put(imgs, data_shard),
                 jax.device_put(masks, data_shard),
+                jax.device_put(valid, data_shard),
             )
             val_device.append((m, n, pad))
         val_metrics = []
@@ -332,7 +364,9 @@ def train_model(
         interval = max(1, int(cfg.get('resume_interval', 1)))
         if epoch % interval == 0 or epoch == int(cfg.epochs):
             ckpt.save_resume(resume_path, state, epoch,
-                             {'best_val_loss': best['val_loss']})
+                             {'best_val_loss': best['val_loss'],
+                              'best_metrics': best_metrics,
+                              'last_val_f1': val_f1})
         summary = {
             'best_val_loss': best['val_loss'],
             'last_val_f1': val_f1,

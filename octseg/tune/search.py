@@ -111,6 +111,9 @@ class BayesianSearch:
     def observe(self, point: Dict, value: float) -> None:
         self.observed_x.append(self.space.encode(point))
         self.observed_y.append(float(value))
+        # points fed from a resumed/warm-started sweep were never suggest()ed
+        # here — mark them seen or the sweep re-runs completed configs
+        self._seen.add(tuple(sorted(point.items())))
 
 
 class HyperBand:
@@ -143,6 +146,17 @@ class HyperBand:
         self.history: Dict[int, List[float]] = {r: [] for r in self.rungs}
         self._lock = threading.Lock()
 
+    def seed(self, epochs_done: int, metric: float) -> None:
+        """Re-populate rung history from a completed trial (sweep resume).
+        The trial reached every rung <= epochs_done; its recorded final
+        metric stands in for the rung-time metric (tuning_results.csv keeps
+        only the final value) — an approximation that restores realistic
+        kill thresholds instead of resetting them to an empty population."""
+        with self._lock:
+            for r in self.rungs:
+                if r <= epochs_done:
+                    self.history[r].append(float(metric))
+
     def should_stop(self, epoch: int, metric: float) -> bool:
         if epoch not in self.history:
             return False
@@ -152,4 +166,4 @@ class HyperBand:
             if len(rung) < self.eta:
                 return False
             threshold = np.quantile(rung, 1.0 - 1.0 / self.eta)
-        return metric < threshold
+        return bool(metric < threshold)

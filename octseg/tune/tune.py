@@ -65,7 +65,8 @@ def _load_completed(results_path: str):
                     'input_size': int(row['input_size']),
                 }
                 out.append((int(row['trial']), params, float(row['val_f1']),
-                            row.get('status', 'ok')))
+                            row.get('status', 'ok'),
+                            int(float(row.get('epochs_done', 0) or 0))))
             except (KeyError, ValueError):
                 continue
     return out
@@ -89,12 +90,14 @@ def run_sweep(cfg: Config, devices=None) -> dict:
 
     best = {'val_f1': -1.0, 'params': None}
     start_trial = 0
-    for trial, params, val_f1, status in _load_completed(results_path):
+    for trial, params, val_f1, status, epochs_done in _load_completed(results_path):
         # failed trials keep their index (not retried, W&B semantics) but do
         # NOT feed the Bayesian model — their 0.0 is a crash artifact, not a
         # measurement, and would permanently bias the GP against the region
         if status == 'ok':
             search.observe(params, val_f1)
+            # early-termination thresholds must survive the restart too
+            hyperband.seed(epochs_done, val_f1)
             if val_f1 > best['val_f1']:
                 best = {'val_f1': val_f1, 'params': params, 'trial': trial}
         start_trial = max(start_trial, trial + 1)
@@ -108,8 +111,10 @@ def run_sweep(cfg: Config, devices=None) -> dict:
     # — a new sweep starts informed instead of cold
     warm = cfg.get('warm_start')
     if warm:
+        # GP observations only — another sweep's trials are not part of THIS
+        # sweep's HyperBand population
         rows = [r for r in _load_completed(str(warm)) if r[3] == 'ok']
-        for _trial, params, val_f1, _status in rows:
+        for _trial, params, val_f1, _status, _epochs in rows:
             search.observe(params, val_f1)
         log.info('warm-started from %s (%d observations)', warm, len(rows))
 

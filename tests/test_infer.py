@@ -175,16 +175,81 @@ def test_block_sizing_halves_under_tight_budget(tmp_path, monkeypatch):
     initialize_model_dir(str(tmp_path / 'LM'), ['Lumen'],
                          arch='Unet', encoder='resnet18', input_size=64)
     eng = InferenceEngine(str(tmp_path), ['Lumen'], block_size=64)
-    monkeypatch.setattr(eng, 'HBM_BUDGET', 1)  # nothing fits (this engine)
+    # a budget nothing fits: refuse loudly rather than execute a program
+    # memory_analysis rejected (a live OOM through the relay kills clients)
+    monkeypatch.setattr(eng, 'HBM_BUDGET', 1)
     fn, variables, _cfg = eng._forward_fn('LM', 64, 64)
-    bs, _runner = eng._block_for('LM', fn, variables, (64, 64, 64, 3),
-                                 'float32')
-    assert bs == eng.n_devices  # floored at the mesh size
+    with pytest.raises(RuntimeError, match='does not fit the HBM budget'):
+        eng._block_for('LM', fn, variables, (64, 64, 64, 3), 'float32')
 
     eng2 = InferenceEngine(str(tmp_path), ['Lumen'], block_size=64)
     fn2, v2, _ = eng2._forward_fn('LM', 64, 64)
     bs2, _ = eng2._block_for('LM', fn2, v2, (64, 64, 64, 3), 'float32')
     assert bs2 == eng2.block_size  # generous budget: full block
+
+    # a budget that fits the half block but not the full one: the sizing
+    # loop halves exactly once (needs measured from XLA's own analysis)
+    import jax as _jax
+
+    def need_at(eng, fn, v, bs):
+        _ok, compiled = eng._fits(
+            fn, v, (_jax.ShapeDtypeStruct((bs, 64, 64, 3), 'float32'),))
+        try:
+            m = compiled.memory_analysis()
+            return (m.temp_size_in_bytes + m.argument_size_in_bytes
+                    + m.output_size_in_bytes)
+        except Exception:
+            return None
+
+    need64 = need_at(eng2, fn2, v2, 64)
+    need32 = need_at(eng2, fn2, v2, 32)
+    if need64 and need32 and need32 < need64:
+        eng3 = InferenceEngine(str(tmp_path), ['Lumen'], block_size=64)
+        fn3, v3, _ = eng3._forward_fn('LM', 64, 64)
+        monkeypatch.setattr(
+            eng3, 'HBM_BUDGET',
+            eng3._resident_bytes() + (need32 + need64) // 2)
+        bs3, _ = eng3._block_for('LM', fn3, v3, (64, 64, 64, 3), 'float32')
+        assert bs3 == 32
+
+
+def test_block_cache_keyed_on_output_size(models_dir, rng):
+    """A runner compiled for one output size must not be reused for another:
+    it would execute cleanly and return wrong-shape masks (the _blocks cache
+    used to key only on (model, frame shape, dtype, budget))."""
+    from octseg.infer.engine import InferenceEngine
+
+    images = [
+        Image.fromarray(rng.integers(0, 255, (100, 100, 3), dtype=np.uint8))
+        for _ in range(3)
+    ]
+    engine = InferenceEngine(models_dir, classes=['Lumen'], block_size=4)
+    out_a = engine.run_model('LM', images, [80, 80])
+    out_b = engine.run_model('LM', images, [56, 72])
+    assert out_a.shape[1:3] == (80, 80)
+    assert out_b.shape[1:3] == (56, 72)
+
+    # same via the pullback fast path (device preprocess variant)
+    frames = rng.integers(0, 255, (3, 100, 100, 3), dtype=np.uint8)
+    pa = engine.segment_pullback(frames, [80, 80])
+    pb = engine.segment_pullback(frames, [56, 72])
+    assert pa.shape[1:3] == (80, 80) and pb.shape[1:3] == (56, 72)
+
+
+def test_engine_is_garbage_collectable(models_dir):
+    """Engines must not be pinned by class-level caches (the analyze app
+    builds one per upload; leaked engines pin device-resident params)."""
+    import gc
+    import weakref
+
+    from octseg.infer.engine import InferenceEngine
+
+    engine = InferenceEngine(models_dir, classes=['Lumen'], block_size=4)
+    engine.run_model('LM', [Image.new('RGB', (64, 64))], [64, 64])
+    ref = weakref.ref(engine)
+    del engine
+    gc.collect()
+    assert ref() is None, 'InferenceEngine leaked (held by a global cache)'
 
 
 def test_engine_int8_flag_end_to_end(models_dir, rng):

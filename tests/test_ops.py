@@ -29,6 +29,22 @@ def test_resize_nearest_cv2_parity(img_u8, size):
     np.testing.assert_array_equal(ours.astype(np.uint8), ref)
 
 
+def test_resize_nearest_index_parity_adversarial():
+    """cv2 resizeNN's scale is the double-rounded reciprocal 1.0/(out/in) —
+    NOT in/out: floor(x*(in/out)) (or any float32 form) picks a neighboring
+    source row for hundreds of size pairs (e.g. 63->35 at x=15). Sweep
+    ratio-rich pairs and require bit-exact index parity."""
+    for in_size in (63, 70, 96, 186, 500, 896):
+        src = np.arange(in_size, dtype=np.float32)[:, None].repeat(2, 1)[..., None]
+        for out in (35, 57, 77, 98, 100, 140, 162, 225, 245, 435, 456, 1000, 1200):
+            ref = cv2.resize(src[..., 0], (2, out),
+                             interpolation=cv2.INTER_NEAREST)[:, 0]
+            ours = np.asarray(
+                resize_nearest(jnp.asarray(src), (out, 2)))[:, 0, 0]
+            np.testing.assert_array_equal(
+                ours, ref, err_msg=f'{in_size}->{out}')
+
+
 @pytest.mark.parametrize('size', [(48, 40), (192, 160)])
 def test_resize_bilinear_cv2_parity(img_u8, size):
     ours = np.asarray(resize_bilinear(jnp.asarray(img_u8, jnp.float32), size))

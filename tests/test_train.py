@@ -272,3 +272,54 @@ def test_resume_interval_gates_resume_ckpt(fold_dir, tmp_path):
     # epoch 2 == cfg.epochs -> final-epoch resume save fires even though
     # 2 % 3 != 0
     assert (d / 'resume.ckpt').exists()
+
+
+def test_tiny_last_val_batch_and_finished_resume(tmp_path):
+    """Two resilience cases: (a) a final val batch SMALLER than the mesh pad
+    (5 samples, batch 4, 4-mesh -> last batch n=1 needs 3 pad rows — index
+    wrap, not imgs[:pad]); (b) resuming a run already at its final epoch must
+    return a usable summary instead of {}."""
+    from octseg.train.train import train_model
+
+    root = str(tmp_path / 'fold')
+    make_fold(root, n_train=4, n_test=5, size=64)
+    cfg = Config(
+        data_dir=root,
+        classes=['Lumen'],
+        architecture='Unet',
+        encoder='resnet18',
+        optimizer='Adam',
+        lr=1e-3,
+        weight_decay=0.0,
+        input_size=64,
+        batch_size=4,
+        epochs=1,
+        use_augmentation=False,
+        save_dir=str(tmp_path / 'models'),
+        model_name='tiny_val',
+        seed=11,
+    )
+    summary = train_model(cfg)
+    assert summary['epochs_done'] == 1
+
+    cfg['resume'] = True  # nothing left to train: epochs == resume epoch
+    summary2 = train_model(cfg)
+    assert summary2['epochs_done'] == 1
+    assert 'last_val_f1' in summary2 and 'best_metrics' in summary2
+    assert summary2['best_val_loss'] <= summary['best_val_loss'] + 1e-9
+
+
+def test_train_split_smaller_than_batch_raises_clearly(tmp_path):
+    from octseg.train.train import train_model
+
+    root = str(tmp_path / 'fold')
+    make_fold(root, n_train=2, n_test=2, size=64)
+    cfg = Config(
+        data_dir=root, classes=['Lumen'], architecture='Unet',
+        encoder='resnet18', optimizer='Adam', lr=1e-3, weight_decay=0.0,
+        input_size=64, batch_size=4, epochs=1, use_augmentation=False,
+        save_dir=str(tmp_path / 'models'), model_name='too_small', seed=11,
+        native_loader=False,
+    )
+    with pytest.raises(ValueError, match='smaller than'):
+        train_model(cfg)

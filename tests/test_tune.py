@@ -158,3 +158,23 @@ def test_sweep_warm_start(tmp_path):
     df = pd.read_csv(tmp_path / 'sweep_b' / 'tuning_results.csv')
     assert list(df['trial']) == [0]  # warm observations consume no indices
     assert best['val_f1'] >= 0
+
+
+def test_observe_marks_seen():
+    """Resumed/warm-started observations must not be re-suggested: observe()
+    feeds _seen so suggest() avoids already-trained configs."""
+    space = SearchSpace({'a': [1, 2], 'b': ['x']})
+    s = BayesianSearch(space, seed=0)
+    s.observe({'a': 1, 'b': 'x'}, 0.5)
+    assert s.suggest() == {'a': 2, 'b': 'x'}  # the only unseen point
+
+
+def test_hyperband_seed_restores_thresholds():
+    """On sweep resume the rung history is re-seeded from completed trials,
+    so early termination keeps killing weak configs instead of resetting."""
+    hb = HyperBand(min_iter=25, eta=2, max_iter=50, s=2)
+    assert hb.rungs == [25]
+    for v in (0.9, 0.8, 0.7):
+        hb.seed(50, v)  # three completed trials passed the 25-epoch rung
+    assert hb.should_stop(25, 0.1) is True    # far below the kill threshold
+    assert hb.should_stop(25, 0.95) is False  # above it
