@@ -327,6 +327,12 @@ def make_handler(state: AppState):
             except Exception as e:  # surface errors to the UI
                 log.exception('analysis failed')
                 return self._send(str(e).encode(), 'text/plain', 500)
+            finally:
+                if tmp is not None:  # the upload copy: one full pullback per
+                    try:             # request would otherwise leak to /tmp
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
 
     return Handler
 

@@ -17,7 +17,10 @@ from typing import Dict, List, Optional
 import matplotlib
 
 matplotlib.use('Agg')
-import matplotlib.pyplot as plt  # noqa: E402
+# the pyplot state machine (Gcf figure registry, current-figure pointer) is
+# NOT thread-safe and these endpoints run concurrently in the web app's
+# handler threads — use the object-oriented API only
+from matplotlib.figure import Figure  # noqa: E402
 import numpy as np  # noqa: E402
 from PIL import Image  # noqa: E402
 
@@ -48,16 +51,20 @@ def _instance_runs(obj: Dict[str, list], with_area: bool = False) -> List[list]:
     return runs
 
 
+def _figure(figsize):
+    fig = Figure(figsize=figsize)
+    return fig, fig.subplots()
+
+
 def fig_to_png_bytes(fig) -> bytes:
     buff = BytesIO()
     fig.savefig(buff, format='png', dpi=110, bbox_inches='tight')
-    plt.close(fig)
-    return buff.getvalue()
+    return buff.getvalue()  # no pyplot registry: the figure just gets GC'd
 
 
 def get_object_map(data: Dict) -> bytes:
     """Per-class object presence across slices."""
-    fig, ax = plt.subplots(figsize=(9, 2.5))
+    fig, ax = _figure((9, 2.5))
     for class_name, obj in data['objects'].items():
         for run in _instance_runs(obj):
             ax.plot(run, [class_name] * len(run), marker='o', markersize=3,
@@ -70,7 +77,7 @@ def get_object_map(data: Dict) -> bytes:
 
 def get_trace_area(classes: List[str], data: Dict) -> bytes:
     """Area vs slice per object instance (instances spanning >= 3 frames)."""
-    fig, ax = plt.subplots(figsize=(9, 3.5))
+    fig, ax = _figure((9, 3.5))
     for class_name, obj in data['objects'].items():
         if class_name not in classes:
             continue
@@ -87,7 +94,7 @@ def get_trace_area(classes: List[str], data: Dict) -> bytes:
 
 def get_plot_area(classes: List[str], data: Dict) -> bytes:
     """Per-instance area boxplots (instances spanning >= 3 frames)."""
-    fig, ax = plt.subplots(figsize=(9, 3.5))
+    fig, ax = _figure((9, 3.5))
     boxes, labels, colors = [], [], []
     for class_name, obj in data['objects'].items():
         if class_name not in classes:
@@ -103,7 +110,9 @@ def get_plot_area(classes: List[str], data: Dict) -> bytes:
             patch.set_facecolor(c)
     ax.set_xlabel('Objects')
     ax.set_ylabel('Area')
-    plt.setp(ax.get_xticklabels(), rotation=30, ha='right')
+    for tick in ax.get_xticklabels():
+        tick.set_rotation(30)
+        tick.set_horizontalalignment('right')
     fig.tight_layout()
     return fig_to_png_bytes(fig)
 

@@ -85,10 +85,13 @@ def convert_single_study(
             video_path_temp = os.path.join(
                 save_dir_video, f'{study_name}_{series_name}_temp.mp4'
             )
-            video = cv2.VideoWriter(
-                video_path_temp, cv2.VideoWriter_fourcc(*'mp4v'), fps,
-                (output_size[1], output_size[0]),
-            )
+            # opened lazily with the FIRST frame's real size: the aspect-
+            # preserving resize targets height only, and cv2.VideoWriter
+            # silently drops every frame whose size differs from the one the
+            # writer was opened with (the reference opens it with output_size
+            # unconditionally, convert_dicoms.py:61-67 — a 0-frame mp4 for
+            # any non-square source)
+            video = None
         elif output_type == 'image':
             save_dir_img = os.path.join(save_dir, study_name, series_name)
             os.makedirs(save_dir_img, exist_ok=True)
@@ -106,9 +109,14 @@ def convert_single_study(
                 name = f'{study_name}_{series_name}_{idx + 1:03d}.png'
                 cv2.imwrite(os.path.join(save_dir_img, name), img)
             else:
+                if video is None:
+                    video = cv2.VideoWriter(
+                        video_path_temp, cv2.VideoWriter_fourcc(*'mp4v'), fps,
+                        (img.shape[1], img.shape[0]),
+                    )
                 video.write(img)
 
-        if output_type == 'video':
+        if output_type == 'video' and video is not None:
             video.release()
             video_path = os.path.join(save_dir_video, f'{study_name}_{series_name}.mp4')
             if reencode_h264(video_path_temp, video_path):

@@ -133,7 +133,13 @@ def process_pair(
     img_path = df.iloc[0].img_path
     img = cv2.imread(img_path)
     h, w = img.shape[:2]
-    mask = np.zeros((h, w, len(classes)), dtype=np.uint8)
+    # channels are indexed by GLOBAL class id (channel = class_id - 1, the
+    # registry contract consumed by OCTDataset), so the mask needs max-id
+    # channels. The reference allocates len(classes) and indexes globally
+    # (convert_int_to_cv.py:188-199) — identical for the default all-4
+    # config, an IndexError for any subset whose ids exceed its length.
+    n_ch = max(CLASS_IDS[c] for c in classes)
+    mask = np.zeros((h, w, n_ch), dtype=np.uint8)
     processor = MaskProcessor() if smooth_mask else None
 
     for obj in df.itertuples(index=False):

@@ -43,14 +43,21 @@ META_COLUMNS = [
 
 
 def polygon_to_mask(polygon: List[List[int]]) -> Tuple[int, int, np.ndarray]:
-    """Rasterize polygon exterior into a tight local mask; returns origin."""
+    """Rasterize polygon exterior into a tight local mask; returns origin.
+
+    Deliberate reference parity (convert_sly_to_int.py:24-43): the mask is
+    sized (y_max-y_min, x_max-x_min) WITHOUT +1, so fillPoly's pixels on the
+    polygon's max row/column are clipped. The published dataset/folds were
+    built with this rasterization — changing it would shift every polygon
+    label's right/bottom edge relative to the reference's trained models."""
     xs = [v[0] for v in polygon]
     ys = [v[1] for v in polygon]
     x_min, x_max = min(xs), max(xs)
     y_min, y_max = min(ys), max(ys)
     pts = np.array(polygon, dtype=np.int32) - (x_min, y_min)
     mask = np.zeros((y_max - y_min, x_max - x_min), dtype=np.uint8)
-    cv2.fillPoly(mask, pts=[pts], color=1)
+    if mask.size:  # degenerate (axis-aligned line) polygons crash fillPoly
+        cv2.fillPoly(mask, pts=[pts], color=1)
     return x_min, y_min, mask
 
 
@@ -133,6 +140,7 @@ def process_single_annotation(
             if not frame or not frame.get('figures'):
                 rows.append(base)
                 continue
+            n_before = len(rows)
             for figure in frame['figures']:
                 props = figure_to_mask_properties(
                     figure,
@@ -140,8 +148,12 @@ def process_single_annotation(
                     crop,
                 )
                 if props is None:
-                    rows.append(base)
-                    break
+                    # unsupported geometry / fully outside the crop: skip
+                    # THIS figure only. (The reference `break`s here,
+                    # convert_sly_to_int.py:173-174, silently dropping every
+                    # remaining annotated object of the frame — documented
+                    # strictly-better deviation.)
+                    continue
                 encoded, area, bbox = props
                 class_name = objects[figure['objectKey']]['classTitle']
                 row = dict(base)
@@ -158,6 +170,8 @@ def process_single_annotation(
                     encoded_mask=encoded,
                 )
                 rows.append(row)
+            if len(rows) == n_before:  # every figure skipped: keep the
+                rows.append(base)      # one-empty-row-per-frame contract
     return pd.DataFrame(rows, columns=META_COLUMNS)
 
 

@@ -129,6 +129,13 @@ class Dataset:
         if isinstance(raw, list):  # encapsulated fragments
             import cv2
 
+            if len(raw) != frames:
+                if frames == 1:
+                    raw = [b''.join(raw)]  # one frame split into fragments
+                else:
+                    raise DicomError(
+                        f'{len(raw)} pixel-data fragments for {frames} frames '
+                        f'and no usable offset table')
             decoded = []
             for frag in raw:
                 img = cv2.imdecode(np.frombuffer(frag, np.uint8), cv2.IMREAD_UNCHANGED)
@@ -154,6 +161,44 @@ class Dataset:
         if frames == 1 and arr.shape[0] == 1 and self.get('NumberOfFrames') is None:
             arr = arr[0]
         return np.ascontiguousarray(arr)
+
+
+def _skip_undefined_sequence(buf, pos: int, explicit: bool) -> int:
+    """Skip an undefined-length SQ value, pos just past its element header.
+
+    Items with a defined length are skipped wholesale; undefined-length
+    items contain a nested DATASET whose elements must be walked with the
+    file's real VR encoding — reading their bytes as bare (group, elem,
+    len32) item headers (the old approach) parses explicit-VR bytes as a
+    length and desyncs the stream (losing PixelData on files with the
+    standard per-frame functional-group sequences)."""
+    while pos + 8 <= len(buf):
+        g2, e2 = struct.unpack_from('<HH', buf, pos)
+        (ilen,) = struct.unpack_from('<I', buf, pos + 4)
+        pos += 8
+        if (g2, e2) == (0xFFFE, 0xE0DD):  # sequence delimitation
+            return pos
+        if (g2, e2) != (0xFFFE, 0xE000):
+            raise DicomError('Malformed sequence (expected item header)')
+        if ilen != 0xFFFFFFFF:
+            pos += ilen
+        else:
+            pos = _skip_undefined_item(buf, pos, explicit)
+    return pos
+
+
+def _skip_undefined_item(buf, pos: int, explicit: bool) -> int:
+    """Skip an undefined-length item's dataset, up to (FFFE,E00D)."""
+    while pos + 8 <= len(buf):
+        g2, e2 = struct.unpack_from('<HH', buf, pos)
+        if (g2, e2) == (0xFFFE, 0xE00D):  # item delimitation (len 0)
+            return pos + 8
+        _g, _e, _vr, length, pos = _read_element(buf, pos, explicit=explicit)
+        if length == 0xFFFFFFFF:  # nested undefined-length SQ
+            pos = _skip_undefined_sequence(buf, pos, explicit)
+        else:
+            pos += length
+    return pos
 
 
 def _read_element(buf: bytes, pos: int, explicit: bool):
@@ -235,34 +280,46 @@ def dcmread(path: str, use_mmap: bool = True) -> Dataset:
     while pos + 8 <= len(buf):
         group, elem, vr, length, pos = _read_element(buf, pos, explicit=explicit)
         if (group, elem) == (0x7FE0, 0x0010) and length == 0xFFFFFFFF:
-            # encapsulated pixel data: basic offset table + fragments
+            # encapsulated pixel data: basic offset table + fragments.
+            # A frame MAY span several fragments (PS3.5 A.4) — record each
+            # fragment's item-header offset from the post-BOT anchor and
+            # regroup by the BOT when it is present.
             fragments: List[bytes] = []
+            frag_off: List[int] = []
+            bot: List[int] = []
+            anchor = None
             first = True
             while pos + 8 <= len(buf):
                 g2, e2 = struct.unpack_from('<HH', buf, pos)
                 (ilen,) = struct.unpack_from('<I', buf, pos + 4)
+                header_pos = pos
                 pos += 8
                 if (g2, e2) == (0xFFFE, 0xE0DD):  # sequence delimiter
                     break
                 if (g2, e2) != (0xFFFE, 0xE000):
                     raise DicomError('Malformed encapsulated pixel data')
                 if first:
-                    first = False  # basic offset table, skip
+                    first = False  # basic offset table
+                    bot = list(struct.unpack_from(f'<{ilen // 4}I', buf, pos))
+                    anchor = pos + ilen
                 else:
                     fragments.append(bytes(buf[pos:pos + ilen]))
+                    frag_off.append(header_pos - anchor)
                 pos += ilen
+            if len(bot) > 1 and len(fragments) > len(bot):
+                # multi-fragment frames with an offset table: each BOT entry
+                # is the offset of a frame's first fragment item header
+                groups: List[bytes] = []
+                bounds = bot[1:] + [float('inf')]
+                for k, off in enumerate(bot):
+                    parts = [f for f, fo in zip(fragments, frag_off)
+                             if off <= fo < bounds[k]]
+                    groups.append(b''.join(parts))
+                fragments = groups
             ds._elements[(group, elem)] = fragments
             continue
-        if length == 0xFFFFFFFF:  # undefined-length sequence: skip to delimiter
-            depth = 1
-            while pos + 8 <= len(buf) and depth:
-                g2, e2 = struct.unpack_from('<HH', buf, pos)
-                (ilen,) = struct.unpack_from('<I', buf, pos + 4)
-                pos += 8
-                if (g2, e2) == (0xFFFE, 0xE0DD):
-                    depth -= 1
-                elif ilen != 0xFFFFFFFF:
-                    pos += ilen
+        if length == 0xFFFFFFFF:  # undefined-length sequence: skip it
+            pos = _skip_undefined_sequence(buf, pos, explicit)
             continue
         if (group, elem) == (0x7FE0, 0x0010):
             # zero-copy view into the (possibly mmapped) file buffer

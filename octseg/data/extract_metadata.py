@@ -49,7 +49,18 @@ def extract_metadata(dcm_path: str) -> dict:
             d = datetime.strptime(ds.AcquisitionDate, '%Y%m%d')
             meta['Acquisition Date'] = f'{d.day:02d}.{d.month:02d}.{d.year:d}'
         if 'AcquisitionTime' in ds:
-            t = datetime.strptime(ds.AcquisitionTime, '%H%M%S.%f')
+            # DICOM TM allows HH, HHMM, HHMMSS, with an optional fraction —
+            # the reference's single '%H%M%S.%f' form (extract_metadata.py:64)
+            # flags valid fraction-less files as broken
+            raw_t = str(ds.AcquisitionTime).strip()
+            for fmt in ('%H%M%S.%f', '%H%M%S', '%H%M', '%H'):
+                try:
+                    t = datetime.strptime(raw_t, fmt)
+                    break
+                except ValueError:
+                    continue
+            else:
+                raise ValueError(f'unparseable AcquisitionTime {raw_t!r}')
             meta['Acquisition Time'] = f'{t.hour:02d}:{t.minute:02d}:{t.second:02d}'
         for key, kw in [
             ('Patient Name', 'PatientName'), ('Patient Sex', 'PatientSex'),

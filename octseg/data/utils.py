@@ -134,7 +134,11 @@ def data_processing(
         images_path = sorted(glob(f'{data_path}/*.[pj][np][ge]*'))
     images, masks, image_names = [], [], []
     for img_path in images_path:
-        img = Image.open(img_path).resize(tuple(output_size))
+        # output_size is [height, width] everywhere in octseg; PIL's resize
+        # takes (width, height). (The reference passes output_size straight
+        # through, utils.py:187 — latent transpose for non-square sizes,
+        # which no shipped config uses.)
+        img = Image.open(img_path).resize((output_size[1], output_size[0]))
         images.append(img)
         masks.append(np.zeros((output_size[0], output_size[1], 4)))
         image_names.append(os.path.basename(img_path).split('.')[0])

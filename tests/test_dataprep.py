@@ -178,3 +178,139 @@ def test_cv_fold_split_is_deterministic(pipeline_dirs):
     s2 = cross_validation_split(df, 'study', 3, seed=11)
     for (a_tr, a_te), (b_tr, b_te) in zip(s1, s2):
         assert set(a_te['study']) == set(b_te['study'])
+
+
+def test_dicom_nested_undefined_sequence_before_pixeldata(tmp_path, rng):
+    """Explicit-VR files with undefined-length sequences holding
+    undefined-length items (the standard nested encoding for per-frame
+    functional groups) must not desync the parser: the item CONTENT is a
+    dataset whose elements carry VR bytes, not bare item headers."""
+    import struct
+
+    frames = rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+    path = str(tmp_path / 'IMG_SQ')
+    dicom.dcmwrite(path, frames, tags={'PatientName': 'SQ^Test'})
+    buf = bytearray(open(path, 'rb').read())
+
+    # locate the end of the file meta group (explicit VR LE elements)
+    pos = 132
+    while pos + 8 <= len(buf):
+        group, _elem = struct.unpack_from('<HH', buf, pos)
+        if group != 0x0002:
+            break
+        vr = bytes(buf[pos + 4:pos + 6])
+        if vr in (b'OB', b'OW', b'SQ', b'UN', b'UT'):
+            (ln,) = struct.unpack_from('<I', buf, pos + 8)
+            pos += 12 + ln
+        else:
+            (ln,) = struct.unpack_from('<H', buf, pos + 6)
+            pos += 8 + ln
+
+    # splice in: SQ(undefined) -> item(undefined) -> UI element -> delims
+    sq = (struct.pack('<HH', 0x0008, 0x1115) + b'SQ\x00\x00'
+          + struct.pack('<I', 0xFFFFFFFF))
+    item = struct.pack('<HHI', 0xFFFE, 0xE000, 0xFFFFFFFF)
+    ui = (struct.pack('<HH', 0x0008, 0x0018) + b'UI'
+          + struct.pack('<H', 6) + b'1.2.3\x00')
+    item_delim = struct.pack('<HHI', 0xFFFE, 0xE00D, 0)
+    seq_delim = struct.pack('<HHI', 0xFFFE, 0xE0DD, 0)
+    buf[pos:pos] = sq + item + ui + item_delim + seq_delim
+    spliced = str(tmp_path / 'IMG_SQ2')
+    open(spliced, 'wb').write(bytes(buf))
+
+    ds = dicom.dcmread(spliced)
+    np.testing.assert_array_equal(ds.pixel_array, frames)
+    assert ds.PatientName == 'SQ^Test'
+
+
+def test_dicom_multi_fragment_single_frame(tmp_path):
+    """A frame may span several pixel-data fragments (PS3.5 A.4): a
+    single-frame JPEG split across two fragments must reassemble."""
+    import struct
+
+    import cv2
+
+    img = np.full((16, 16, 3), 200, np.uint8)
+    ok, jpeg = cv2.imencode('.jpg', img)
+    assert ok
+    jpeg = jpeg.tobytes()
+    if len(jpeg) % 2:
+        jpeg += b'\x00'
+    half = (len(jpeg) // 2) & ~1  # fragments must be even-length
+
+    def elem(group, el, vr, data):
+        head = struct.pack('<HH', group, el)
+        if vr in ('OB',):
+            return head + vr.encode() + b'\x00\x00' + struct.pack('<I', len(data)) + data
+        return head + vr.encode() + struct.pack('<H', len(data)) + data
+
+    ts = b'1.2.840.10008.1.2.4.50\x00'  # JPEG baseline
+    meta = elem(0x0002, 0x0010, 'UI', ts)
+    body = b''
+    body += elem(0x0028, 0x0010, 'US', struct.pack('<H', 16))  # Rows
+    body += elem(0x0028, 0x0011, 'US', struct.pack('<H', 16))  # Columns
+    body += elem(0x0028, 0x0002, 'US', struct.pack('<H', 3))   # SamplesPerPixel
+    body += elem(0x0028, 0x0100, 'US', struct.pack('<H', 8))   # BitsAllocated
+    # encapsulated PixelData: OB undefined length, empty BOT, 2 fragments
+    px = (struct.pack('<HH', 0x7FE0, 0x0010) + b'OB\x00\x00'
+          + struct.pack('<I', 0xFFFFFFFF)
+          + struct.pack('<HHI', 0xFFFE, 0xE000, 0)             # empty BOT
+          + struct.pack('<HHI', 0xFFFE, 0xE000, half) + jpeg[:half]
+          + struct.pack('<HHI', 0xFFFE, 0xE000, len(jpeg) - half) + jpeg[half:]
+          + struct.pack('<HHI', 0xFFFE, 0xE0DD, 0))
+    path = str(tmp_path / 'IMG_FRAG')
+    open(path, 'wb').write(b'\x00' * 128 + b'DICM' + meta + body + px)
+
+    arr = dicom.dcmread(path).pixel_array
+    assert arr.shape == (16, 16, 3)
+    assert abs(int(arr.astype(int).mean()) - 200) < 8  # lossy JPEG tolerance
+
+
+def test_fold_mask_channels_for_class_subsets(tmp_path, rng):
+    """Masks are indexed by GLOBAL class id (channel = class_id - 1), so a
+    class subset with high ids needs max-id channels. (The reference
+    allocates len(classes) channels and crashes for such subsets,
+    convert_int_to_cv.py:188-199.)"""
+    from octseg.data.convert_int_to_cv import process_pair
+
+    img_path = str(tmp_path / 'f.png')
+    cv2.imwrite(img_path, rng.integers(0, 255, (64, 64, 3), np.uint8))
+    obj = np.zeros((64, 64), bool)
+    obj[20:40, 20:40] = True
+    df = pd.DataFrame([{
+        'img_path': img_path, 'class_name': 'Vasa vasorum',
+        'encoded_mask': convert_numpy_to_base64(obj),
+    }])
+    for d in ('img', 'mask', 'mask_color'):
+        os.makedirs(tmp_path / 'out' / d, exist_ok=True)
+    process_pair(df, str(tmp_path / 'out'), None,
+                 classes=['Fibrous cap', 'Vasa vasorum'], smooth_mask=False)
+    mask = read_tiff(str(tmp_path / 'out' / 'mask' / 'f.tiff'))
+    assert mask.shape[2] == 4  # up to the Vasa vasorum channel (id 4)
+    assert (mask[:, :, 3] == 255).sum() == obj.sum()
+    assert (mask[:, :, :3] == 0).all()
+
+
+def test_acquisition_time_without_fraction(tmp_path, rng):
+    """DICOM TM values without fractional seconds are valid; the reference's
+    '%H%M%S.%f'-only parse flags such files as broken."""
+    from octseg.data.extract_metadata import extract_metadata
+
+    frames = rng.integers(0, 256, (1, 8, 8, 3), dtype=np.uint8)
+    path = str(tmp_path / 'IMG001')
+    dicom.dcmwrite(path, frames, tags={'AcquisitionTime': '142530'})
+    meta = extract_metadata(path)
+    assert meta['Acquisition Time'] == '14:25:30'
+
+
+def test_data_processing_non_square_output(tmp_path, rng):
+    """output_size is [height, width]; PIL resize takes (width, height) —
+    images and masks must agree for non-square sizes."""
+    from octseg.data.utils import data_processing
+
+    cv2.imwrite(str(tmp_path / 'a.png'),
+                rng.integers(0, 255, (64, 48, 3), np.uint8))
+    images, masks, names = data_processing(
+        str(tmp_path), str(tmp_path / 'out'), [100, 80])
+    assert images[0].size == (80, 100)  # PIL (width, height)
+    assert masks[0].shape == (100, 80, 4)
