@@ -114,7 +114,6 @@ def wait_for_calm_pool(max_wait_s=1200.0, threshold_s=0.012):
 def main():
     import numpy as np
 
-    n_chips = jax.device_count()
     fns = [build(*spec) for spec in ENSEMBLE]
     floor = wait_for_calm_pool()
     imgs = jax.device_put(jax.random.uniform(
@@ -157,9 +156,14 @@ def main():
               f'mfu {mfu:.1%})', file=sys.stderr, flush=True)
 
     dt = sum(per_model)  # seconds per BATCH frames through the full ensemble
-    fps_per_chip = BATCH / dt / n_chips
+    # everything above ran on ONE device (un-sharded device_put lands on
+    # device 0), so the per-chip figures must NOT divide by device_count —
+    # on a multi-chip host that under-reports by n_chips x. Multi-chip
+    # scaling is certified separately (frame-axis sharding in
+    # __graft_entry__.dryrun_multichip and the mesh tests).
+    fps_per_chip = BATCH / dt
     total_flops = sum(flops for _fn, _v, flops in fns)
-    mfu = total_flops / dt / (V5E_BF16_PEAK * n_chips)
+    mfu = total_flops / dt / V5E_BF16_PEAK
 
     # int8 ensemble mode (per-channel weight + dynamic per-tensor activation
     # quantization, octseg/ops/quantize.py): measured in a FRESH SUBPROCESS —
@@ -227,7 +231,6 @@ def int8_phase(batch: int) -> None:
 
     global BATCH
     BATCH = batch
-    n_chips = jax.device_count()
     fns = [build(*spec, int8=True) for spec in ENSEMBLE]
     imgs = jax.device_put(jax.random.uniform(
         jax.random.PRNGKey(1), (batch, INPUT, INPUT, 3), jnp.float32, 0, 255))
@@ -254,8 +257,8 @@ def int8_phase(batch: int) -> None:
     for (arch, enc, _c), dt8 in zip(ENSEMBLE, per_model):
         print(f'# int8 {arch}/{enc}: {dt8 * 1e3:.1f} ms/block '
               f'({batch / dt8:.1f} f/s)', file=sys.stderr, flush=True)
-    print(json.dumps(
-        {'int8_f_s': round(batch / sum(per_model) / n_chips, 2)}))
+    print(json.dumps(  # single-device run: already per chip
+        {'int8_f_s': round(batch / sum(per_model), 2)}))
 
 
 def bench_training(sync, batch=16, size=512):

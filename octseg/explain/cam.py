@@ -18,7 +18,7 @@ predicted mask (cam_processor.py:116-140).
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import cv2
 import jax
@@ -73,7 +73,7 @@ class CAMProcessor:
         model,
         variables,
         method: str = 'GradCAM',
-        feature_level: int = 5,
+        feature_level: Optional[int] = None,
         percentile: int = 99,
     ):
         if method not in CAM_METHODS:
@@ -81,6 +81,14 @@ class CAMProcessor:
         self.model = model
         self.variables = variables
         self.method = method
+        if feature_level is None:
+            # deepest level the decoder actually consumes: tapping a dead
+            # level gives identically-zero gradients (all-blank CAMs). Only
+            # PSPNet ignores the deep pyramid (encoder_depth=3 semantics —
+            # octseg/models/decoders/pspnet.py); every other decoder reads
+            # features[5].
+            deep = type(model.decoder).__name__ == 'PSPDecoder'
+            feature_level = 3 if deep else 5
         self.level = feature_level
         self.percentile = percentile
         # variables flow through as jit ARGUMENTS — a partial/closure would
@@ -133,7 +141,11 @@ class CAMProcessor:
             idx = jnp.arange(start, min(start + chunk, c))
             scores.append(jax.vmap(ablate_one)(idx))
         scores = np.asarray(jnp.concatenate(scores), np.float32)
-        return (base - scores) / (abs(base) + 1e-8)
+        # fraction of the target score lost per ablated channel: the divisor
+        # keeps base's SIGN (dividing by abs(base) inverts every weight when
+        # the masked-logit sum is negative)
+        denom = base if abs(base) > 1e-8 else 1e-8
+        return (base - scores) / denom
 
     # ---- public API --------------------------------------------------------
     def extract_activation_map(

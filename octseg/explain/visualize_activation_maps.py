@@ -50,6 +50,7 @@ def micro_scores(pred: np.ndarray, gt: np.ndarray) -> dict:
 @entry_point('visualize_activation_maps')
 def main(cfg: Config) -> None:
     import jax
+    import jax.numpy as jnp
 
     model, variables, model_cfg = load_model_bundle(cfg.model_dir)
     classes = list(cfg.get('classes') or model_cfg['classes'])
@@ -59,11 +60,17 @@ def main(cfg: Config) -> None:
     save_dir = os.path.join(cfg.save_dir, method)
     os.makedirs(save_dir, exist_ok=True)
 
+    level = cfg.get('feature_level')
     processor = CAMProcessor(
         model, variables, method=method,
-        feature_level=int(cfg.get('feature_level', 5)),
+        feature_level=int(level) if level is not None else None,
     )
     forward = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    # octseg-trained manifests declare normalize=true (training applies
+    # ImageNet mean/std, train.py); converted reference checkpoints lack the
+    # key and expect raw BGR floats (the predict() quirk) — match the
+    # inference engine's handling (octseg/infer/engine.py)
+    normalize = bool(model_cfg.get('normalize', False))
 
     rows = []
     img_paths = sorted(glob(os.path.join(cfg.data_dir, 'img', '*.[pj][np]g')))
@@ -75,13 +82,27 @@ def main(cfg: Config) -> None:
         if gt.ndim == 2:
             gt = gt[:, :, None]
         x = img_bgr.astype(np.float32)
+        if normalize:
+            from octseg.ops.normalize import normalize_imagenet
+
+            x = np.asarray(normalize_imagenet(jnp.asarray(x)))
         logits = np.asarray(forward(variables, x[None]))[0]
         pred = (1 / (1 + np.exp(-logits)) > 0.5).astype(np.float32)
 
         for ch, class_name in enumerate(model_cfg['classes']):
             if class_name not in classes:
                 continue
-            gt_mask = (gt[:, :, CLASS_IDS[class_name] - 1] > 0).astype(np.float32)
+            # GT channel: registry contract is channel = class_id - 1, but a
+            # mask may hold only the model's own channels
+            cid = CLASS_IDS[class_name] - 1
+            if gt.shape[2] <= cid:
+                if gt.shape[2] == len(model_cfg['classes']):
+                    cid = ch
+                else:
+                    raise ValueError(
+                        f'{stem}: GT mask has {gt.shape[2]} channels — cannot '
+                        f'locate class {class_name!r} (id {cid + 1})')
+            gt_mask = (gt[:, :, cid] > 0).astype(np.float32)
             pred_mask = pred[:, :, ch]
             cam = processor.extract_activation_map(x, category=ch, mask=pred_mask)
             overlay = processor.overlay_activation_map(

@@ -26,6 +26,10 @@ class DecoderBlock(nn.Module):
         x = upsample(x, 2)
         if skip is not None:
             x = jnp.concatenate([x, skip], axis=-1)
+        # SMP's DecoderBlock applies attention TWICE: attention1 on the
+        # upsample+skip concatenation, attention2 after conv2
+        if self.use_attention:
+            x = Attention2D(dtype=self.dtype)(x)
         x = ConvBNAct(self.features, (3, 3), dtype=self.dtype)(x, train)
         x = ConvBNAct(self.features, (3, 3), dtype=self.dtype)(x, train)
         if self.use_attention:

@@ -40,7 +40,13 @@ def read_model_metrics(csv_paths: List[str]) -> pd.DataFrame:
     dfs = []
     for p in csv_paths:
         df = pd.read_csv(p)
-        df['Fold'] = get_fold_id(p)
+        fold = get_fold_id(p)
+        if fold is None:
+            # a NaN fold would silently vanish from get_best_epoch's
+            # equality filter (NaN != NaN) — keep the rows under fold 0
+            log.warning('%s: no fold_N in path, grouping under fold 0', p)
+            fold = 0
+        df['Fold'] = fold
         dfs.append(df)
     return pd.concat(dfs, ignore_index=True)
 

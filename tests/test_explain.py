@@ -83,3 +83,28 @@ def test_cam_on_upsampled_head_archs(tmp_path, rng, arch):
     cam = proc.extract_activation_map(img, category=0, mask=mask)
     assert cam.shape == (64, 64)
     assert np.isfinite(cam).all() and cam.min() >= 0 and cam.max() <= 1
+
+
+def test_pspnet_cam_taps_a_consumed_level(tmp_path, rng):
+    """PSPNet's decoder consumes only features[3] (encoder_depth=3
+    semantics); tapping the default level 5 yields identically-zero
+    gradients and blank CAMs. The auto level must produce a live map."""
+    from octseg.infer.engine import load_model_bundle
+    from tests.test_infer import make_model_dir
+
+    model_dir = make_model_dir(str(tmp_path), 'PSP', ['Lumen'],
+                               arch='PSPNet', encoder='resnet18',
+                               input_size=64)
+    from octseg.explain.cam import SemanticSegmentationTarget
+
+    model, variables, _cfg = load_model_bundle(model_dir)
+    proc = CAMProcessor(model, variables, method='GradCAM')
+    assert proc.level == 3
+    img = np.random.default_rng(0).integers(0, 255, (64, 64, 3)).astype(np.float32)
+    target = SemanticSegmentationTarget(0, np.ones((64, 64), np.float32))
+    _a, g, _f = proc._acts_and_grads(img, target)
+    assert np.abs(g).max() > 0, 'dead tap: zero gradients at the auto level'
+    # counterfactual: level 5 IS dead for PSPNet (the old default)
+    proc5 = CAMProcessor(model, variables, method='GradCAM', feature_level=5)
+    _a5, g5, _f5 = proc5._acts_and_grads(img, target)
+    assert np.abs(g5).max() == 0
