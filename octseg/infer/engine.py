@@ -276,7 +276,9 @@ class InferenceEngine:
     def run_model(
         self, model_dir_name: str, images: List[Image.Image], output_size: Sequence[int]
     ) -> np.ndarray:
-        """All frames through one model; returns (N, out_h, out_w, C) float32."""
+        """All frames through one model; returns (N, out_h, out_w, C) uint8
+        {0,1} masks (binary masks travel host-ward as uint8 — 4x less
+        transfer through the relay)."""
         out_h, out_w = int(output_size[0]), int(output_size[1])
         fn, variables, model_cfg = self._forward_fn(model_dir_name, out_h, out_w)
         input_size = model_cfg['input_size']
