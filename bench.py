@@ -114,6 +114,9 @@ def wait_for_calm_pool(max_wait_s=1200.0, threshold_s=0.012):
 def main():
     import numpy as np
 
+    from octseg.core.compilecache import enable_compilation_cache
+
+    enable_compilation_cache()  # minutes -> seconds on repeat runs
     fns = [build(*spec) for spec in ENSEMBLE]
     floor = wait_for_calm_pool()
     imgs = jax.device_put(jax.random.uniform(
@@ -229,6 +232,9 @@ def int8_phase(batch: int) -> None:
 
     import numpy as np
 
+    from octseg.core.compilecache import enable_compilation_cache
+
+    enable_compilation_cache()
     global BATCH
     BATCH = batch
     fns = [build(*spec, int8=True) for spec in ENSEMBLE]

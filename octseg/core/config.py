@@ -182,6 +182,12 @@ def entry_point(config_name: str, setup_logs: bool = True):
         def wrapper(cfg: Optional[Config] = None, overrides: Optional[List[str]] = None):
             if cfg is None:
                 cfg = load_config(config_name, overrides=overrides or sys.argv[1:])
+                # CLI runs are fresh processes: pay each big XLA compile
+                # once per machine, not once per invocation. Programmatic
+                # calls (a prebuilt cfg, e.g. tests) stay hermetic.
+                from octseg.core.compilecache import enable_compilation_cache
+
+                enable_compilation_cache()
             if setup_logs:
                 setup_logging(config_name)
             return fn(cfg)

@@ -87,3 +87,42 @@ def test_scalar_logger(tmp_path):
     assert logger.update_summary('best_f1', 0.9)
     assert not logger.update_summary('best_f1', 0.7)
     assert logger.summary['best_f1'] == 0.9
+
+
+def test_compilation_cache_writes_entries(tmp_path, monkeypatch):
+    """enable_compilation_cache points XLA's persistent cache at the given
+    dir; a slow-enough compile must land an entry there (the env kill
+    switch and the idempotent re-enable are exercised too)."""
+    import octseg.core.compilecache as cc
+
+    monkeypatch.setattr(cc, '_enabled_dir', None)
+    monkeypatch.setenv('OCTSEG_COMPILE_CACHE', '0')
+    assert cc.enable_compilation_cache(str(tmp_path / 'x')) is None
+
+    monkeypatch.delenv('OCTSEG_COMPILE_CACHE', raising=False)
+    cache_dir = str(tmp_path / 'xla-cache')
+    got = cc.enable_compilation_cache(cache_dir)
+    if got is None:  # this jax build lacks the persistent-cache knobs
+        pytest.skip('persistent compilation cache unsupported')
+    assert got == cache_dir
+    # idempotent: a second call (no args) keeps the first dir
+    assert cc.enable_compilation_cache() == cache_dir
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        # force every compile into the cache for this check
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+        x = jnp.ones((4, 32, 32, 8), jnp.float32)
+        w = jnp.ones((3, 3, 8, 16), jnp.float32)
+        jax.jit(
+            lambda x, w: jax.lax.conv_general_dilated(
+                x, w, (1, 1), 'SAME',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        ).lower(x, w).compile()
+        assert os.listdir(cache_dir), 'no cache entry written'
+    finally:
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        jax.config.update('jax_compilation_cache_dir', None)
+        monkeypatch.setattr(cc, '_enabled_dir', None)
