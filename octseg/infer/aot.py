@@ -1,0 +1,174 @@
+"""AOT-exported inference programs: serving cold starts without tracing.
+
+The persistent compile cache (octseg.core.compilecache) removes the
+XLA-compile phase of an engine cold start but cannot remove flax tracing +
+StableHLO lowering (~27 s for the ensemble, benchmarks/compile_cache.json).
+This module exports the engine's jitted forward programs to disk with
+``jax.export`` — a serving process deserializes the StableHLO and calls it
+directly, skipping Python model construction and tracing entirely; the
+XLA compile underneath hits the persistent cache. The reference has no
+analog (torch rebuilds its eager graph per process and cuDNN ships
+precompiled kernels); this is the idiomatic JAX/TPU serving path.
+
+Artifacts live in ``<model_dir>/aot/<key-hash>.{jaxexp,json}``; the hash
+covers everything that shapes the program (model manifest, block/frame
+shapes, output size, dtypes, mesh shape, jax version, octseg version), so
+a stale export can only be hit by an identical configuration. Exports are
+BUILD ARTIFACTS: re-run ``python -m octseg.infer.aot`` after changing
+model code or upgrading jax (the jax-version key mismatch then skips them).
+Opt out at serve time with ``OCTSEG_AOT=0``.
+
+Usage:
+    python -m octseg.infer.aot [models_dir=...] [classes=[...]] ...
+        (config: configs/export_aot.yaml)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import os
+from typing import Optional, Tuple
+
+import jax
+
+import octseg
+
+log = logging.getLogger(__name__)
+
+AOT_DIRNAME = 'aot'
+
+
+def _enabled() -> bool:
+    return os.environ.get('OCTSEG_AOT', '1') not in ('0', 'false', 'off')
+
+
+def make_key(model_cfg: dict, fn_key: tuple, frame_shape: tuple, dtype,
+             block: int, mesh_shape: tuple, compute_dtype, int8: bool) -> dict:
+    """Everything that determines the exported program, as a JSON-able dict."""
+    import numpy as np
+
+    return {
+        'manifest': {k: model_cfg.get(k) for k in
+                     ('architecture', 'encoder', 'input_size', 'classes',
+                      'normalize')},
+        'fn_key': list(fn_key),
+        'frame_shape': list(frame_shape[1:]),  # per-frame (the block is keyed)
+        # np.dtype canonicalizes the engine's mixed currency (np dtypes from
+        # arrays, jnp scalar types from code) to one name
+        'dtype': np.dtype(dtype).name,
+        'block': int(block),
+        'mesh_shape': list(mesh_shape),
+        'compute_dtype': (np.dtype(compute_dtype).name if compute_dtype
+                          else 'float32'),
+        'int8': bool(int8),
+        'jax': jax.__version__,
+        'octseg': getattr(octseg, '__version__', '0'),
+    }
+
+
+def _key_hash(key: dict) -> str:
+    blob = json.dumps(key, sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def _paths(model_dir: str, key: dict) -> Tuple[str, str]:
+    h = _key_hash(key)
+    d = os.path.join(model_dir, AOT_DIRNAME)
+    return os.path.join(d, f'{h}.jaxexp'), os.path.join(d, f'{h}.json')
+
+
+def save_exported(model_dir: str, key: dict, fn, variables,
+                  block_shape: tuple, dtype, memory_need: Optional[int]) -> str:
+    """Export the jitted ``fn(variables, block)`` at the given block shape
+    and write it (plus its key/metadata) under ``<model_dir>/aot/``."""
+    from jax import export as jax_export
+
+    var_avals = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables)
+    sample = jax.ShapeDtypeStruct(tuple(block_shape), dtype)
+    exp = jax_export.export(fn)(var_avals, sample)
+    blob_path, meta_path = _paths(model_dir, key)
+    os.makedirs(os.path.dirname(blob_path), exist_ok=True)
+    with open(blob_path, 'wb') as f:
+        f.write(exp.serialize())
+    with open(meta_path, 'w') as f:
+        json.dump({'key': key, 'memory_need_bytes': memory_need}, f, indent=2)
+    log.info('AOT export: %s (block %d)', blob_path, key['block'])
+    return blob_path
+
+
+def load_runner(model_dir: str, key: dict,
+                budget: Optional[int] = None) -> Optional[Tuple[int, object]]:
+    """(block, runner) for a previously exported program matching ``key``
+    (sans 'block', which the artifact itself supplies), or None. A stored
+    memory need above the current budget refuses the hit — the engine then
+    sizes blocks normally."""
+    if not _enabled():
+        return None
+    aot_dir = os.path.join(model_dir, AOT_DIRNAME)
+    if not os.path.isdir(aot_dir):
+        return None
+    want = {k: v for k, v in key.items() if k != 'block'}
+    for fname in sorted(os.listdir(aot_dir)):
+        if not fname.endswith('.json'):
+            continue
+        try:
+            with open(os.path.join(aot_dir, fname)) as f:
+                meta = json.load(f)
+            stored = meta.get('key', {})
+            if {k: v for k, v in stored.items() if k != 'block'} != want:
+                continue
+            need = meta.get('memory_need_bytes')
+            if budget is not None and need is not None and need > budget:
+                log.info('AOT %s: stored memory need %.1f GiB exceeds the '
+                         'current budget — skipping', fname, need / 2 ** 30)
+                continue
+            blob_path = os.path.join(aot_dir, fname[:-5] + '.jaxexp')
+            from jax import export as jax_export
+
+            with open(blob_path, 'rb') as f:
+                exp = jax_export.deserialize(f.read())
+            log.info('AOT hit: %s (block %d)', blob_path, stored['block'])
+            return int(stored['block']), exp.call
+        except Exception as e:  # corrupt/incompatible artifact: never fatal
+            log.warning('AOT artifact %s unusable (%s) — ignoring',
+                        fname, str(e).splitlines()[0][:120])
+    return None
+
+
+def main(cfg=None, overrides=None) -> None:
+    """Export AOT artifacts for every model routed by ``classes``."""
+    from octseg.core.config import entry_point
+
+    @entry_point('export_aot')
+    def _main(cfg) -> None:
+        from octseg.infer.engine import MODELS_META, InferenceEngine
+
+        models_dir = cfg.models_dir if os.path.isabs(cfg.models_dir) \
+            else os.path.join(octseg.PROJECT_DIR, cfg.models_dir)
+        engine = InferenceEngine(
+            models_dir=models_dir,
+            classes=list(cfg.classes),
+            block_size=int(cfg.get('block_size', 128)),
+            bf16=bool(cfg.get('bf16', False)),
+            int8=bool(cfg.get('int8', False)),
+        )
+        frame_hw = cfg.get('frame_size', None)
+        for model_dir_name in dict.fromkeys(
+                MODELS_META[c]['model_dir'] for c in cfg.classes):
+            # the images/PIL variant (predict.py, the app) ...
+            for path in engine.export_aot(
+                    model_dir_name, cfg.output_size, frame_hw=None):
+                log.info('exported %s', path)
+            if frame_hw:  # ... and the device-preprocess pullback variant
+                for path in engine.export_aot(
+                        model_dir_name, cfg.output_size, frame_hw=frame_hw):
+                    log.info('exported %s', path)
+
+    _main(cfg, overrides)
+
+
+if __name__ == '__main__':
+    main()

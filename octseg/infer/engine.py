@@ -19,7 +19,7 @@ import functools
 import json
 import logging
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -216,6 +216,24 @@ class InferenceEngine:
                int(budget) // (256 * 2 ** 20))
         if key in self._blocks:
             return self._blocks[key]
+        # AOT-exported program (octseg/infer/aot.py): skip tracing/lowering
+        # entirely when a matching export exists and fits the current budget
+        from octseg.infer import aot as _aot
+
+        model_cfg = self._bundle(model_dir_name)[2]
+        aot_key = _aot.make_key(
+            model_cfg, fn_key, frame_shape, dtype, 0,
+            tuple(self.mesh.devices.shape), self.compute_dtype, self.int8)
+        hit = _aot.load_runner(
+            os.path.join(self.models_dir, model_dir_name), aot_key,
+            budget=int(budget))
+        # the chunked slicing contract requires per-model blocks to divide
+        # the engine block (see __init__) — reject exports from a different
+        # block scheme rather than mis-slice
+        if hit is not None and (hit[0] <= self.block_size
+                                and self.block_size % hit[0] == 0):
+            self._blocks[key] = hit
+            return hit
         bs = self.block_size
         runner = None
         while True:
@@ -256,6 +274,48 @@ class InferenceEngine:
                 out_shardings=batch_sharding(self.mesh),
             )
         return self._slicers[block]
+
+    def export_aot(self, model_dir_name: str, output_size: Sequence[int],
+                   frame_hw: Optional[Sequence[int]] = None) -> list:
+        """Export this model's forward program(s) as AOT serving artifacts
+        (octseg/infer/aot.py). ``frame_hw`` set → the device-preprocess
+        pullback variant at that native frame size; unset → the PIL/images
+        variant at the model's input size. Returns the written paths."""
+        from octseg.infer import aot as _aot
+
+        out_h, out_w = int(output_size[0]), int(output_size[1])
+        model_path = os.path.join(self.models_dir, model_dir_name)
+        written = []
+        if frame_hw is not None:
+            variants = [((int(frame_hw[0]), int(frame_hw[1]), 3),
+                         jnp.uint8, True)]
+        else:
+            input_size = self._bundle(model_dir_name)[2]['input_size']
+            variants = [((input_size, input_size, 3), jnp.float32, False)]
+        for shape_tail, dtype, device_preprocess in variants:
+            fn, variables, model_cfg = self._forward_fn(
+                model_dir_name, out_h, out_w,
+                device_preprocess=device_preprocess)
+            fn_key = (out_h, out_w, device_preprocess)
+            frame_shape = (self.block_size, *shape_tail)
+            bs, runner = self._block_for(
+                model_dir_name, fn, variables, frame_shape, dtype,
+                fn_key=fn_key)
+            need = None
+            if runner is not None and hasattr(runner, 'memory_analysis'):
+                try:
+                    m = runner.memory_analysis()
+                    need = int(m.temp_size_in_bytes + m.argument_size_in_bytes
+                               + m.output_size_in_bytes)
+                except Exception:
+                    need = None
+            key = _aot.make_key(
+                model_cfg, fn_key, frame_shape, dtype, bs,
+                tuple(self.mesh.devices.shape), self.compute_dtype, self.int8)
+            written.append(_aot.save_exported(
+                model_path, key, fn, variables, (bs, *shape_tail), dtype,
+                need))
+        return written
 
     @staticmethod
     def _run(runner, fn, variables, chunk):

@@ -276,3 +276,57 @@ def test_engine_int8_flag_end_to_end(models_dir, rng):
         # paths must agree on the overwhelming majority of pixels
         agree = float((me == mq).mean())
         assert agree > 0.98, agree
+
+
+def test_aot_export_roundtrip_and_hit(models_dir, rng, monkeypatch):
+    """engine.export_aot writes a jax.export artifact; a fresh engine must
+    serve from it — no memory probing, no silent jit fallback — and
+    reproduce the traced path's masks exactly. OCTSEG_AOT=0 disables."""
+    import shutil
+
+    from octseg.infer.engine import InferenceEngine
+
+    frames = rng.integers(0, 255, (10, 48, 48, 3), dtype=np.uint8)
+    e1 = InferenceEngine(models_dir, classes=['Lumen'], block_size=8)
+    ref = e1.segment_pullback(frames, output_size=[32, 32])
+    paths = e1.export_aot('LM', [32, 32], frame_hw=[48, 48])
+    assert paths and all(os.path.exists(p) for p in paths)
+
+    # serving engine: forbid the sizing probe, and run the AOT program
+    # directly (no fallback) so an exported-program failure raises here
+    def no_probe(self, *a, **k):
+        raise AssertionError('memory probe used despite AOT artifact')
+
+    def direct_run(runner, fn, variables, chunk):
+        assert runner is not None, 'AOT runner missing'
+        return runner(variables, chunk)
+
+    monkeypatch.setattr(InferenceEngine, '_fits', no_probe)
+    monkeypatch.setattr(InferenceEngine, '_run', staticmethod(direct_run))
+    e2 = InferenceEngine(models_dir, classes=['Lumen'], block_size=8)
+    out = e2.segment_pullback(frames, output_size=[32, 32])
+    np.testing.assert_array_equal(out, ref)
+
+    # a mismatched configuration (different output size) must NOT hit
+    e3 = InferenceEngine(models_dir, classes=['Lumen'], block_size=8)
+    with pytest.raises(AssertionError, match='memory probe'):
+        e3.segment_pullback(frames, output_size=[40, 40])
+
+    # kill switch
+    monkeypatch.setenv('OCTSEG_AOT', '0')
+    e4 = InferenceEngine(models_dir, classes=['Lumen'], block_size=8)
+    with pytest.raises(AssertionError, match='memory probe'):
+        e4.segment_pullback(frames, output_size=[32, 32])
+    monkeypatch.delenv('OCTSEG_AOT')
+
+    # corrupt artifact: never fatal — engine falls back to normal sizing
+    monkeypatch.undo()
+    aot_dir = os.path.join(models_dir, 'LM', 'aot')
+    for fname in os.listdir(aot_dir):
+        if fname.endswith('.jaxexp'):
+            with open(os.path.join(aot_dir, fname), 'wb') as f:
+                f.write(b'not an export')
+    e5 = InferenceEngine(models_dir, classes=['Lumen'], block_size=8)
+    out5 = e5.segment_pullback(frames, output_size=[32, 32])
+    np.testing.assert_array_equal(out5, ref)
+    shutil.rmtree(aot_dir)
