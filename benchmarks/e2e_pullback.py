@@ -83,6 +83,18 @@ def main():
     masks = engine.segment_pullback(np.asarray(pixels), output_size=[frame_size, frame_size])
     t_segment = time.perf_counter() - t0
 
+    # (b2) grayscale-replicated pullback: common for raw (non-colormapped)
+    # OCT sources — engine uploads one channel (3x less) and broadcasts on
+    # device (segment_pullback mono path)
+    gray = np.repeat(pixels[..., :1], 3, axis=-1)
+    engine.segment_pullback(gray[: engine.block_size],
+                            output_size=[frame_size, frame_size])  # compile
+    t0 = time.perf_counter()
+    masks_gray = engine.segment_pullback(
+        gray, output_size=[frame_size, frame_size])
+    t_segment_gray = time.perf_counter() - t0
+    assert masks_gray.shape == masks.shape
+
     # (c) compute-only: frames already device-resident, outputs probe-synced
     # (mask download excluded — negligible over PCIe, ~11 MB/s over this
     # relay). Per-model blocks + a sync per model: different executables'
@@ -115,6 +127,10 @@ def main():
         'dicom_decode_s': round(t_decode, 3),
         'relay_upload_s': round(t_upload, 3),
         'segment_s_incl_relay_transfers': round(t_segment, 3),
+        'segment_s_gray_pullback': round(t_segment_gray, 3),
+        # masks cross the relay bitpacked, 8 px/byte (octseg/ops/bitpack.py)
+        'mask_bytes_downloaded': int(  # LM 1ch + FC_LC 2ch + VV 1ch, padded
+            4 * n_pad * frame_size * ((frame_size + 7) // 8)),
         'device_compute_s': round(t_compute, 3),
         'compute_frames_per_s_per_chip': round(n_frames / t_compute / n_chips, 1),
         'est_v5e8_total_s': round(t_decode + t_compute * n_chips / 8, 3),

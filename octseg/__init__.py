@@ -10,7 +10,7 @@ Bayesian/HyperBand tuning, CAM explainability, and quantification analytics.
 
 import os
 
-__version__ = '0.1.0'
+__version__ = '0.2.0'  # 0.2: bitpacked mask transport (invalidates AOT exports)
 
 # Repository root (parent of the octseg package), mirroring the reference's
 # src/__init__.py PROJECT_DIR convention so configs/paths resolve the same way.

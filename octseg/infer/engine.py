@@ -28,6 +28,7 @@ from PIL import Image
 
 from octseg.data.utils import preprocessing_img
 from octseg.models import create_model
+from octseg.ops.bitpack import pack_mask_bits, unpack_mask_bits
 from octseg.ops.normalize import normalize_imagenet, sigmoid_threshold
 from octseg.ops.resize import resize_bilinear, resize_nearest
 from octseg.parallel.sharding import batch_sharding, make_mesh, replicated_sharding
@@ -171,9 +172,14 @@ class InferenceEngine:
             if device_preprocess:
                 # fused on-device preprocessing: uint8 RGB frames at native
                 # resolution → BGR float → bilinear resize to the model size
-                # (replaces the per-frame host cv2 path, SURVEY §3.1)
+                # (replaces the per-frame host cv2 path, SURVEY §3.1).
+                # Grayscale pullbacks arrive single-channel (3x less relay
+                # upload, segment_pullback) and broadcast after the resize;
+                # the BGR swap is an identity on one channel.
                 imgs = imgs[..., ::-1].astype(jnp.float32)
                 imgs = resize_bilinear(imgs, (input_size, input_size))
+                if imgs.shape[-1] == 1:
+                    imgs = jnp.broadcast_to(imgs, (*imgs.shape[:-1], 3))
             if normalize:
                 imgs = normalize_imagenet(imgs)
             if int8_mode:
@@ -184,8 +190,10 @@ class InferenceEngine:
                 logits = model.apply(variables, imgs, train=False)
             masks = sigmoid_threshold(logits)
             masks = resize_nearest(masks, (out_h, out_w))
-            # binary masks travel host-ward as uint8 (4x less transfer)
-            return masks.astype(jnp.uint8)
+            # binary masks travel host-ward bitpacked, 8 pixels/byte — the
+            # mask download dominates pullback e2e on a relay-attached chip
+            # (octseg/ops/bitpack.py); callers unpack with one numpy call
+            return pack_mask_bits(masks.astype(jnp.uint8))
 
         fn = jax.jit(forward, in_shardings=(repl, data_shard), out_shardings=data_shard)
         variables = jax.device_put(variables, repl)
@@ -287,7 +295,11 @@ class InferenceEngine:
         model_path = os.path.join(self.models_dir, model_dir_name)
         written = []
         if frame_hw is not None:
+            # both pullback variants: RGB and the mono fast path (grayscale
+            # pullbacks upload one channel, segment_pullback)
             variants = [((int(frame_hw[0]), int(frame_hw[1]), 3),
+                         jnp.uint8, True),
+                        ((int(frame_hw[0]), int(frame_hw[1]), 1),
                          jnp.uint8, True)]
         else:
             input_size = self._bundle(model_dir_name)[2]['input_size']
@@ -337,8 +349,8 @@ class InferenceEngine:
         self, model_dir_name: str, images: List[Image.Image], output_size: Sequence[int]
     ) -> np.ndarray:
         """All frames through one model; returns (N, out_h, out_w, C) uint8
-        {0,1} masks (binary masks travel host-ward as uint8 — 4x less
-        transfer through the relay)."""
+        {0,1} masks (binary masks travel host-ward bitpacked, 8 pixels/byte
+        — 32x less relay transfer than float32)."""
         out_h, out_w = int(output_size[0]), int(output_size[1])
         fn, variables, model_cfg = self._forward_fn(model_dir_name, out_h, out_w)
         input_size = model_cfg['input_size']
@@ -365,8 +377,99 @@ class InferenceEngine:
                 runner, fn, variables,
                 jax.device_put(jnp.asarray(chunk), data_shard),
             )
-            outs.append(np.asarray(out)[: bs - pad])
+            outs.append(unpack_mask_bits(np.asarray(out), out_w)[: bs - pad])
         return np.concatenate(outs, axis=0)
+
+    @staticmethod
+    def _as_mono_if_gray(frames: np.ndarray) -> np.ndarray:
+        """Grayscale-replicated pullbacks (common for raw, non-colormapped
+        OCT) drop to one channel — 3x less relay upload; the forward program
+        broadcasts after the on-device resize. A strided sample rejects
+        color pullbacks before the exact full scan pays a memory pass."""
+        if frames.shape[-1] != 3:
+            return frames
+        s = frames[:: max(1, frames.shape[0] // 16), ::37, ::41]
+        if ((s[..., 0] == s[..., 1]).all()
+                and (s[..., 1] == s[..., 2]).all()
+                and (frames[..., 0] == frames[..., 1]).all()
+                and (frames[..., 1] == frames[..., 2]).all()):
+            return np.ascontiguousarray(frames[..., :1])
+        return frames
+
+    def _ensemble_plan(self):
+        """{model_dir: [(class, model channel, mask channel), ...]} in
+        routing order (MODELS_META, reference src/predict.py:23-28)."""
+        from octseg.core.registry import CLASS_IDS
+
+        plan: Dict[str, list] = {}
+        for class_name in self.classes:
+            meta = MODELS_META[class_name]
+            plan.setdefault(meta['model_dir'], []).append(
+                (class_name, meta['index'], CLASS_IDS[class_name] - 1))
+        return plan
+
+    def iter_pullback(self, frames: np.ndarray, output_size: Sequence[int]):
+        """Streaming pullback inference: yields ``(start, masks_block)`` —
+        masks_block is (<=block_size, out_h, out_w, 4) float32 {0,1} — one
+        engine block at a time, in frame order.
+
+        The serving shape of :meth:`segment_pullback`: host memory is
+        bounded by two frame blocks plus one mask block regardless of
+        pullback length (segment_pullback holds the whole pullback and an
+        (N, out², 4) float32 result), the next block's upload is dispatched
+        before the current block's compute so the relay transfer overlaps
+        device work, and results stream out as they are ready instead of
+        after the last model's last block. All three models run per block,
+        so their executables' temp buffers still never coexist (serial
+        dispatch), while only O(block) frames are device-resident."""
+        out_h, out_w = int(output_size[0]), int(output_size[1])
+        n = int(frames.shape[0])
+        if n == 0:
+            return
+        plan = self._ensemble_plan()
+        frames = self._as_mono_if_gray(np.asarray(frames))
+        data_shard = batch_sharding(self.mesh)
+        eb = self.block_size
+        # per-model programs sized against a budget holding at most two
+        # uploaded blocks (current + prefetched), per-device share
+        block_bytes = (eb * int(np.prod(frames.shape[1:]))
+                       * frames.dtype.itemsize // self.n_devices)
+        runs = {}
+        for model_dir_name in plan:
+            fn, variables, _cfg = self._forward_fn(
+                model_dir_name, out_h, out_w, device_preprocess=True)
+            bs, runner = self._block_for(
+                model_dir_name, fn, variables, (eb, *frames.shape[1:]),
+                frames.dtype, extra_resident=2 * block_bytes,
+                fn_key=(out_h, out_w, True))
+            runs[model_dir_name] = (fn, variables, bs, runner)
+
+        def upload(start):
+            chunk = frames[start:start + eb]
+            pad = eb - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
+            # async dispatch: the host returns before the relay transfer
+            # completes, so the next block streams in during compute
+            return jax.device_put(jnp.asarray(chunk), data_shard)
+
+        nxt = upload(0)
+        for start in range(0, n, eb):
+            cur, nxt = nxt, (upload(start + eb) if start + eb < n else None)
+            take = min(eb, n - start)
+            block_masks = np.zeros((take, out_h, out_w, 4), np.float32)
+            for model_dir_name, classes in plan.items():
+                fn, variables, bs, runner = runs[model_dir_name]
+                slicer = self._slicer(bs)
+                outs = [self._run(runner, fn, variables, slicer(cur, s))
+                        for s in range(0, eb, bs)]
+                pred = np.concatenate(
+                    [unpack_mask_bits(np.asarray(o), out_w) for o in outs],
+                    axis=0)[:take]
+                for _class_name, ch, mask_ch in classes:
+                    block_masks[:, :, :, mask_ch] = pred[:, :, :, ch]
+            yield start, block_masks
 
     def segment_pullback(
         self, frames: np.ndarray, output_size: Sequence[int]
@@ -374,21 +477,20 @@ class InferenceEngine:
         """Fast path for whole pullbacks: (N, H, W, 3) uint8 RGB frames →
         (N, out_h, out_w, 4) float32 {0,1} ensemble masks. All per-pixel work
         (BGR swap, resize, forward, threshold, output resize) happens on
-        device in static frame blocks; the host only uploads raw frames."""
-        from octseg.core.registry import CLASS_IDS
-
+        device in static frame blocks; the host only uploads raw frames —
+        one channel when the pullback is grayscale-replicated — and
+        downloads bitpacked masks (8 pixels/byte). (N, H, W, 1) input takes
+        the mono path directly."""
         out_h, out_w = int(output_size[0]), int(output_size[1])
         n = frames.shape[0]
         result = np.zeros((n, out_h, out_w, 4), np.float32)
-        by_model: Dict[str, List[str]] = {}
-        for class_name in self.classes:
-            by_model.setdefault(MODELS_META[class_name]['model_dir'], []).append(class_name)
-
+        plan = self._ensemble_plan()
         data_shard = batch_sharding(self.mesh)
         # pad once to the engine block (every per-model block divides it),
         # upload once, share across all models
         pad_total = (-n) % self.block_size
         if isinstance(frames, np.ndarray):
+            frames = self._as_mono_if_gray(frames)
             if pad_total:
                 frames = np.concatenate(
                     [frames, np.zeros((pad_total, *frames.shape[1:]), frames.dtype)]
@@ -397,7 +499,7 @@ class InferenceEngine:
         elif pad_total:
             frames = jnp.pad(frames, ((0, pad_total), (0, 0), (0, 0), (0, 0)))
 
-        for model_dir_name, class_names in by_model.items():
+        for model_dir_name, class_routes in plan.items():
             fn, variables, _cfg = self._forward_fn(
                 model_dir_name, out_h, out_w, device_preprocess=True
             )
@@ -418,10 +520,11 @@ class InferenceEngine:
                 self._run(runner, fn, variables, slicer(frames, start))
                 for start in range(0, n + pad_total, bs)
             ]
-            pred = np.concatenate([np.asarray(o) for o in outs], axis=0)[:n]
-            for class_name in class_names:
-                ch = MODELS_META[class_name]['index']
-                result[:, :, :, CLASS_IDS[class_name] - 1] = pred[:, :, :, ch]
+            pred = np.concatenate(
+                [unpack_mask_bits(np.asarray(o), out_w) for o in outs],
+                axis=0)[:n]
+            for _class_name, ch, mask_ch in class_routes:
+                result[:, :, :, mask_ch] = pred[:, :, :, ch]
         return result
 
     def segment(
@@ -433,18 +536,11 @@ class InferenceEngine:
         """Fill the (H, W, 4) masks for the selected classes (ref segment()
         semantics, src/predict.py:61-101) — but each underlying model runs
         exactly once even when it serves two classes (FC_LC)."""
-        from octseg.core.registry import CLASS_IDS
 
-        by_model: Dict[str, List[str]] = {}
-        for class_name in self.classes:
-            by_model.setdefault(MODELS_META[class_name]['model_dir'], []).append(class_name)
-
-        for model_dir_name, class_names in by_model.items():
+        for model_dir_name, class_routes in self._ensemble_plan().items():
             pred = self.run_model(model_dir_name, images, output_size)
-            for class_name in class_names:
-                ch = MODELS_META[class_name]['index']
+            for _class_name, ch, mask_ch in class_routes:
                 channel = pred[:, :, :, ch] if pred.ndim == 4 else pred
-                class_idx = CLASS_IDS[class_name] - 1
                 for i, mask in enumerate(masks):
-                    mask[:, :, class_idx] = channel[i]
+                    mask[:, :, mask_ch] = channel[i]
         return masks

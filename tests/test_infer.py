@@ -330,3 +330,72 @@ def test_aot_export_roundtrip_and_hit(models_dir, rng, monkeypatch):
     out5 = e5.segment_pullback(frames, output_size=[32, 32])
     np.testing.assert_array_equal(out5, ref)
     shutil.rmtree(aot_dir)
+
+
+def test_pullback_mono_fast_path_parity(models_dir, rng):
+    """Grayscale-replicated RGB pullbacks take the single-channel upload
+    path (3x less relay transfer); masks must match the RGB path exactly.
+    A jnp input skips host-side mono detection, forcing the RGB program."""
+    from octseg.infer.engine import InferenceEngine
+
+    gray = rng.integers(0, 255, (6, 48, 48, 1), dtype=np.uint8)
+    rgb = np.repeat(gray, 3, axis=-1)
+    engine = InferenceEngine(models_dir, classes=['Lumen'], block_size=8)
+    ref = engine.segment_pullback(jnp.asarray(rgb), output_size=[32, 32])
+
+    called = {}
+    orig = jax.device_put
+
+    def spy(x, *a, **k):
+        if hasattr(x, 'shape') and getattr(x, 'ndim', 0) == 4:
+            called.setdefault('ch', []).append(x.shape[-1])
+        return orig(x, *a, **k)
+
+    try:
+        jax.device_put = spy
+        out = engine.segment_pullback(rgb, output_size=[32, 32])
+        out_mono = engine.segment_pullback(gray, output_size=[32, 32])
+    finally:
+        jax.device_put = orig
+    # the replicated-RGB pullback and the explicit (N,H,W,1) input must
+    # both have uploaded single-channel frames
+    assert called['ch'] and all(c == 1 for c in called['ch']), called
+    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(out_mono, ref)
+
+    # a genuinely colored pullback must NOT take the mono path
+    color = rgb.copy()
+    color[0, 0, 0, 2] ^= 1
+    called.clear()
+    try:
+        jax.device_put = spy
+        out_c = engine.segment_pullback(color, output_size=[32, 32])
+    finally:
+        jax.device_put = orig
+    assert called['ch'] and all(c == 3 for c in called['ch']), called
+    assert out_c.shape == ref.shape
+
+
+def test_iter_pullback_streams_blocks_matching_batch_path(models_dir, rng):
+    """iter_pullback must yield engine-block-sized mask chunks, in frame
+    order, whose concatenation equals segment_pullback exactly — including
+    a ragged final block — while running every model on every block."""
+    from octseg.infer.engine import InferenceEngine
+
+    frames = rng.integers(0, 255, (19, 48, 48, 3), dtype=np.uint8)
+    engine = InferenceEngine(
+        models_dir, classes=['Lumen', 'Fibrous cap', 'Lipid core',
+                             'Vasa vasorum'], block_size=8)
+    ref = engine.segment_pullback(frames, output_size=[32, 32])
+
+    starts, chunks = [], []
+    for start, block in engine.iter_pullback(frames, output_size=[32, 32]):
+        starts.append(start)
+        chunks.append(block)
+    assert starts == [0, 8, 16]
+    assert [c.shape[0] for c in chunks] == [8, 8, 3]
+    assert all(c.shape[1:] == (32, 32, 4) for c in chunks)
+    np.testing.assert_array_equal(np.concatenate(chunks, axis=0), ref)
+
+    # empty pullback: no yields, no crash
+    assert list(engine.iter_pullback(frames[:0], output_size=[32, 32])) == []

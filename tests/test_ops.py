@@ -314,3 +314,33 @@ def test_augment_batch_pallas_path_in_sharded_jit(monkeypatch):
     gi, gm = jax.vmap(augment.augment_pair)(imgs, masks,
                                             jax.random.split(key, 8))
     assert float((np.asarray(wm) == np.asarray(gm)).mean()) > 0.95
+
+
+class TestBitpack:
+    """Device-side mask bitpacking (octseg/ops/bitpack.py): the packed bytes
+    must be exactly what np.packbits would produce along W, and the host
+    unpack must be a lossless inverse for every W mod 8."""
+
+    @pytest.mark.parametrize('w', [8, 64, 63, 65, 1000, 1])
+    def test_roundtrip_and_numpy_parity(self, rng, w):
+        from octseg.ops.bitpack import (pack_mask_bits, packed_width,
+                                        unpack_mask_bits)
+
+        masks = rng.integers(0, 2, (3, 5, w, 4), dtype=np.uint8)
+        packed = np.asarray(jax.jit(pack_mask_bits)(jnp.asarray(masks)))
+        assert packed.shape == (3, 5, packed_width(w), 4)
+        np.testing.assert_array_equal(
+            packed, np.packbits(masks, axis=2, bitorder='big'))
+        np.testing.assert_array_equal(unpack_mask_bits(packed, w), masks)
+
+    def test_pack_under_sharded_jit(self, rng):
+        from octseg.ops.bitpack import pack_mask_bits, unpack_mask_bits
+        from octseg.parallel.sharding import batch_sharding, make_mesh
+
+        mesh = make_mesh()
+        masks = rng.integers(0, 2, (8, 4, 20, 2), dtype=np.uint8)
+        fn = jax.jit(pack_mask_bits, in_shardings=batch_sharding(mesh),
+                     out_shardings=batch_sharding(mesh))
+        dev = jax.device_put(jnp.asarray(masks), batch_sharding(mesh))
+        np.testing.assert_array_equal(
+            unpack_mask_bits(np.asarray(fn(dev)), 20), masks)
