@@ -103,6 +103,9 @@ def child_measure(models_dir: str) -> None:
 
     frames = jax.device_put(
         jnp.asarray(np.zeros((BLOCK, *FRAME_HW, 3), np.uint8)))
+    # sync: device_put is async — without this the 384 MB relay upload
+    # lands inside first_block_s and swamps the mode differences
+    jax.block_until_ready(frames)
     t2 = time.perf_counter()
     for name, ((bs, runner), fn, variables) in runners.items():
         chunk = frames[:bs]
@@ -167,7 +170,9 @@ def main() -> None:
                                / results['aot']['ready_s'], 2),
         'note': 'traced = cold process, empty cache; cache = fresh process, '
                 'warm persistent compile cache; aot = fresh process loading '
-                'jax.export artifacts (no tracing) + warm cache',
+                'serialized COMPILED executables (.pjrtexe — no tracing, no '
+                'XLA compile; StableHLO .jaxexp is the portable fallback) '
+                '+ warm cache',
     }
     out_path = os.path.join(HERE, 'aot_cold_start.json')
     with open(out_path, 'w') as f:

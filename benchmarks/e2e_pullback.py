@@ -94,6 +94,22 @@ def main():
         gray, output_size=[frame_size, frame_size])
     t_segment_gray = time.perf_counter() - t0
     assert masks_gray.shape == masks.shape
+    del masks_gray, gray
+
+    # (b3) streaming mode (engine.iter_pullback): bounded host memory, the
+    # next block's relay upload overlaps the current block's compute, masks
+    # stream out per block
+    for _start, _block in engine.iter_pullback(  # compile/size programs
+            np.asarray(pixels[: engine.block_size]),
+            output_size=[frame_size, frame_size]):
+        pass
+    t0 = time.perf_counter()
+    done = 0
+    for _start, block in engine.iter_pullback(
+            np.asarray(pixels), output_size=[frame_size, frame_size]):
+        done += block.shape[0]
+    t_stream = time.perf_counter() - t0
+    assert done == n_frames
 
     # (c) compute-only: frames already device-resident, outputs probe-synced
     # (mask download excluded — negligible over PCIe, ~11 MB/s over this
@@ -119,6 +135,16 @@ def main():
         _ = float(np.asarray(jax.device_get(probe(out))))
         t_compute += time.perf_counter() - t0
 
+    # relay rates measured in-run so the artifact is self-calibrating (the
+    # shared pool swings 3x+ between sessions): upload from (b), download by
+    # fetching the last block's packed masks
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    fetched = np.asarray(out)
+    t_down = time.perf_counter() - t0
+    down_rate = fetched.nbytes / max(t_down, 1e-9) / 1e6
+    up_rate = padded.nbytes / max(t_upload, 1e-9) / 1e6
+
     n_chips = jax.device_count()
     out = {
         'n_frames': n_frames,
@@ -128,9 +154,13 @@ def main():
         'relay_upload_s': round(t_upload, 3),
         'segment_s_incl_relay_transfers': round(t_segment, 3),
         'segment_s_gray_pullback': round(t_segment_gray, 3),
+        'segment_s_streaming': round(t_stream, 3),
         # masks cross the relay bitpacked, 8 px/byte (octseg/ops/bitpack.py)
         'mask_bytes_downloaded': int(  # LM 1ch + FC_LC 2ch + VV 1ch, padded
             4 * n_pad * frame_size * ((frame_size + 7) // 8)),
+        'mask_bytes_unpacked_equiv': int(4 * n_pad * frame_size * frame_size),
+        'relay_upload_MB_s': round(up_rate, 1),
+        'relay_download_MB_s': round(down_rate, 1),
         'device_compute_s': round(t_compute, 3),
         'compute_frames_per_s_per_chip': round(n_frames / t_compute / n_chips, 1),
         'est_v5e8_total_s': round(t_decode + t_compute * n_chips / 8, 3),

@@ -3,12 +3,14 @@
 The persistent compile cache (octseg.core.compilecache) removes the
 XLA-compile phase of an engine cold start but cannot remove flax tracing +
 StableHLO lowering (~27 s for the ensemble, benchmarks/compile_cache.json).
-This module exports the engine's jitted forward programs to disk with
-``jax.export`` — a serving process deserializes the StableHLO and calls it
-directly, skipping Python model construction and tracing entirely; the
-XLA compile underneath hits the persistent cache. The reference has no
-analog (torch rebuilds its eager graph per process and cuDNN ships
-precompiled kernels); this is the idiomatic JAX/TPU serving path.
+This module exports the engine's forward programs to disk in two flavors:
+the COMPILED PJRT executable (``jax.experimental.serialize_executable``) —
+loading skips Python model construction, tracing, lowering AND the XLA
+compile, so a serving process is compute-ready right after weights land —
+and serialized StableHLO (``jax.export``) as the portable fallback for a
+different device kind (first call recompiles). The reference has no analog
+(torch rebuilds its eager graph per process and cuDNN ships precompiled
+kernels); this is the idiomatic JAX/TPU serving path.
 
 Artifacts live in ``<model_dir>/aot/<key-hash>.{jaxexp,json}``; the hash
 covers everything that shapes the program (model manifest, block/frame
@@ -80,9 +82,25 @@ def _paths(model_dir: str, key: dict) -> Tuple[str, str]:
 
 
 def save_exported(model_dir: str, key: dict, fn, variables,
-                  block_shape: tuple, dtype, memory_need: Optional[int]) -> str:
+                  block_shape: tuple, dtype, memory_need: Optional[int],
+                  compiled=None) -> str:
     """Export the jitted ``fn(variables, block)`` at the given block shape
-    and write it (plus its key/metadata) under ``<model_dir>/aot/``."""
+    and write it (plus its key/metadata) under ``<model_dir>/aot/``.
+
+    Two artifact flavors:
+    - ``.jaxexp`` — serialized StableHLO (``jax.export``): portable across
+      devices of a topology, but the first call still pays the XLA compile
+      (the persistent compile cache does not key deserialized modules the
+      same as traced ones, so serving may recompile from scratch).
+    - ``.pjrtexe`` — the COMPILED PJRT executable
+      (``jax.experimental.serialize_executable``), written when ``compiled``
+      is given and the backend supports it: loading skips tracing AND
+      compilation entirely, so a serving process is compute-ready after
+      weights upload. Device-specific — gated at load time on the exact
+      platform/device kind it was built for.
+    """
+    import pickle
+
     from jax import export as jax_export
 
     var_avals = jax.tree.map(
@@ -93,9 +111,28 @@ def save_exported(model_dir: str, key: dict, fn, variables,
     os.makedirs(os.path.dirname(blob_path), exist_ok=True)
     with open(blob_path, 'wb') as f:
         f.write(exp.serialize())
+    meta = {'key': key, 'memory_need_bytes': memory_need}
+    # TPU only: XLA:CPU executables deserialize but fail at dispatch in this
+    # jaxlib ("Buffer Definition Event: ... not found", cpu_aot_loader also
+    # warns on machine-feature mismatch) — CPU serving uses the StableHLO
+    # flavor + persistent compile cache instead
+    if compiled is not None and jax.devices()[0].platform.lower() == 'tpu':
+        try:
+            from jax.experimental import serialize_executable as se
+
+            ser, in_tree, out_tree = se.serialize(compiled)
+            with open(blob_path[: -len('jaxexp')] + 'pjrtexe', 'wb') as f:
+                pickle.dump((ser, in_tree, out_tree), f)
+            dev = jax.devices()[0]
+            meta['exe'] = {'platform': dev.platform,
+                           'device_kind': dev.device_kind}
+        except Exception as e:  # backend without executable serialization
+            log.info('PJRT executable not serializable here (%s) — '
+                     'StableHLO export only', str(e).splitlines()[0][:120])
     with open(meta_path, 'w') as f:
-        json.dump({'key': key, 'memory_need_bytes': memory_need}, f, indent=2)
-    log.info('AOT export: %s (block %d)', blob_path, key['block'])
+        json.dump(meta, f, indent=2)
+    log.info('AOT export: %s (block %d%s)', blob_path, key['block'],
+             ', compiled executable' if 'exe' in meta else '')
     return blob_path
 
 
@@ -125,6 +162,31 @@ def load_runner(model_dir: str, key: dict,
                 log.info('AOT %s: stored memory need %.1f GiB exceeds the '
                          'current budget — skipping', fname, need / 2 ** 30)
                 continue
+            # compiled-executable flavor first: skips XLA compile entirely,
+            # valid only on the exact device kind it was built for
+            exe_meta = meta.get('exe')
+            exe_path = os.path.join(aot_dir, fname[:-5] + '.pjrtexe')
+            if exe_meta and os.path.exists(exe_path):
+                dev = jax.devices()[0]
+                if (exe_meta.get('platform') == dev.platform
+                        and exe_meta.get('device_kind') == dev.device_kind):
+                    try:
+                        import pickle
+
+                        from jax.experimental import \
+                            serialize_executable as se
+
+                        with open(exe_path, 'rb') as f:
+                            ser, in_tree, out_tree = pickle.load(f)
+                        loaded = se.deserialize_and_load(ser, in_tree,
+                                                         out_tree)
+                        log.info('AOT hit (compiled executable): %s '
+                                 '(block %d)', exe_path, stored['block'])
+                        return int(stored['block']), loaded
+                    except Exception as e:
+                        log.warning('AOT executable %s unusable (%s) — '
+                                    'trying the StableHLO export',
+                                    exe_path, str(e).splitlines()[0][:120])
             blob_path = os.path.join(aot_dir, fname[:-5] + '.jaxexp')
             from jax import export as jax_export
 

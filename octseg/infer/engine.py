@@ -326,7 +326,7 @@ class InferenceEngine:
                 tuple(self.mesh.devices.shape), self.compute_dtype, self.int8)
             written.append(_aot.save_exported(
                 model_path, key, fn, variables, (bs, *shape_tail), dtype,
-                need))
+                need, compiled=runner))
         return written
 
     @staticmethod
@@ -459,14 +459,19 @@ class InferenceEngine:
             cur, nxt = nxt, (upload(start + eb) if start + eb < n else None)
             take = min(eb, n - start)
             block_masks = np.zeros((take, out_h, out_w, 4), np.float32)
-            for model_dir_name, classes in plan.items():
-                fn, variables, bs, runner = runs[model_dir_name]
+            # dispatch every model's runs before fetching any result: the
+            # device works through all three models while the host fetches
+            # and unpacks the earlier ones
+            pending = {}
+            for model_dir_name, (fn, variables, bs, runner) in runs.items():
                 slicer = self._slicer(bs)
-                outs = [self._run(runner, fn, variables, slicer(cur, s))
-                        for s in range(0, eb, bs)]
+                pending[model_dir_name] = [
+                    self._run(runner, fn, variables, slicer(cur, s))
+                    for s in range(0, eb, bs)]
+            for model_dir_name, classes in plan.items():
                 pred = np.concatenate(
-                    [unpack_mask_bits(np.asarray(o), out_w) for o in outs],
-                    axis=0)[:take]
+                    [unpack_mask_bits(np.asarray(o), out_w)
+                     for o in pending[model_dir_name]], axis=0)[:take]
                 for _class_name, ch, mask_ch in classes:
                     block_masks[:, :, :, mask_ch] = pred[:, :, :, ch]
             yield start, block_masks

@@ -319,11 +319,12 @@ def test_aot_export_roundtrip_and_hit(models_dir, rng, monkeypatch):
         e4.segment_pullback(frames, output_size=[32, 32])
     monkeypatch.delenv('OCTSEG_AOT')
 
-    # corrupt artifact: never fatal — engine falls back to normal sizing
+    # corrupt artifacts (both flavors): never fatal — engine falls back to
+    # normal sizing
     monkeypatch.undo()
     aot_dir = os.path.join(models_dir, 'LM', 'aot')
     for fname in os.listdir(aot_dir):
-        if fname.endswith('.jaxexp'):
+        if fname.endswith(('.jaxexp', '.pjrtexe')):
             with open(os.path.join(aot_dir, fname), 'wb') as f:
                 f.write(b'not an export')
     e5 = InferenceEngine(models_dir, classes=['Lumen'], block_size=8)
