@@ -114,22 +114,26 @@ def _run_inference_into(work_dir: str, dcm_path: str, models_dir: str,
     os.makedirs(os.path.join(work_dir, 'img'), exist_ok=True)
     os.makedirs(os.path.join(work_dir, 'mask'), exist_ok=True)
     h, w = frames.shape[1:3]
-    images = []
+    norm = np.empty(frames.shape[:3] + (3,), np.uint8)
     for idx in range(frames.shape[0]):
         img = cv2.normalize(frames[idx], None, alpha=0, beta=255,
                             norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_8U)
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        norm[idx] = img
         name = f'frame_{idx + 1:03d}'
-        cv2.imwrite(os.path.join(work_dir, 'img', f'{name}.png'), img)
-        images.append(Image.fromarray(cv2.cvtColor(img, cv2.COLOR_BGR2RGB)))
-    masks = [np.zeros((h, w, 4)) for _ in images]
+        cv2.imwrite(os.path.join(work_dir, 'img', f'{name}.png'),
+                    cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+    # streaming device-preprocess path (engine.iter_pullback): on-device
+    # BGR swap/resize instead of a per-frame host cv2 loop, single-channel
+    # upload for grayscale DICOMs, host memory bounded by one block of
+    # masks however long the uploaded pullback is
     engine = InferenceEngine(models_dir=models_dir, classes=classes)
-    masks = engine.segment(images, masks, output_size=[h, w])
-    for idx, mask in enumerate(masks):
-        write_tiff(
-            os.path.join(work_dir, 'mask', f'frame_{idx + 1:03d}.tiff'),
-            (mask * 255).astype(np.uint8),
-        )
+    for start, block in engine.iter_pullback(norm, output_size=[h, w]):
+        for j in range(block.shape[0]):
+            write_tiff(
+                os.path.join(work_dir, 'mask',
+                             f'frame_{start + j + 1:03d}.tiff'),
+                (block[j] * 255).astype(np.uint8),
+            )
 
 
 def frame_contours(

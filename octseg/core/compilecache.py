@@ -48,6 +48,17 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
 
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
+        # jax initializes its cache singleton at most once, at the dir in
+        # force during the FIRST cached compile — a dir set after that is
+        # silently ignored. Reset so this redirect actually takes effect
+        # (no-op for CLIs, which enable before any compile).
+        try:
+            from jax._src import compilation_cache as _cc
+
+            if getattr(_cc, '_cache_initialized', False):
+                _cc.reset_cache()
+        except Exception:  # pragma: no cover - private-API drift
+            pass
         # cache everything that took >1s to compile, regardless of size
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
         jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)

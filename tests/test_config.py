@@ -116,9 +116,15 @@ def test_compilation_cache_writes_entries(tmp_path, monkeypatch):
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
         x = jnp.ones((4, 32, 32, 8), jnp.float32)
         w = jnp.ones((3, 3, 8, 16), jnp.float32)
+        # a per-run constant makes the HLO unique: an identical program
+        # compiled earlier in this process would hit jax's in-memory cache
+        # and never write to the redirected dir (order-dependent flake)
+        import uuid
+
+        salt = float(uuid.uuid4().int % 10 ** 9) / 1e9
         jax.jit(
             lambda x, w: jax.lax.conv_general_dilated(
-                x, w, (1, 1), 'SAME',
+                x + salt, w, (1, 1), 'SAME',
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         ).lower(x, w).compile()
         assert os.listdir(cache_dir), 'no cache entry written'
