@@ -39,26 +39,12 @@ BLOCK = 128
 
 
 def make_model_dirs(root: str) -> None:
-    import jax
-    import jax.numpy as jnp
-
-    from octseg.models import create_model
-    from octseg.train.checkpoint import save_weights
+    from octseg.train.checkpoint import initialize_model_dir
 
     for name, arch, encoder, classes, input_size in ENSEMBLE:
-        d = os.path.join(root, name)
-        os.makedirs(d, exist_ok=True)
-        model = create_model(arch, encoder, classes=len(classes))
-        v = jax.jit(lambda r, x: model.init(
-            {'params': r, 'dropout': r}, x, train=False))(
-            jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
-        save_weights(os.path.join(d, 'weights.ckpt'),
-                     v['params'], v['batch_stats'])
-        with open(os.path.join(d, 'config.json'), 'w') as f:
-            json.dump({'model_name': f'{arch}_{encoder}',
-                       'architecture': arch, 'encoder': encoder,
-                       'input_size': input_size, 'classes': classes,
-                       'batch_size': 4, 'optimizer': 'Adam', 'lr': 1e-4}, f)
+        initialize_model_dir(
+            os.path.join(root, name), classes, arch=arch, encoder=encoder,
+            input_size=input_size, seed=1, init_size=64)
         print(f'# model dir {name} ({arch}/{encoder})',
               file=sys.stderr, flush=True)
 
@@ -101,14 +87,21 @@ def child_measure(models_dir: str) -> None:
             fn_key=(*OUT, True)), fn, variables)
     program_s = time.perf_counter() - t1
 
+    from octseg.parallel.sharding import batch_sharding
+
+    # the engine's batch sharding + jitted slicer: an eager slice of an
+    # unsharded upload would make the compiled/AOT runner reject its input
+    # on a multi-device mesh and first_block_s would silently measure the
+    # jit-fallback recompile (see engine.segment_pullback's slicer note)
     frames = jax.device_put(
-        jnp.asarray(np.zeros((BLOCK, *FRAME_HW, 3), np.uint8)))
+        jnp.asarray(np.zeros((BLOCK, *FRAME_HW, 3), np.uint8)),
+        batch_sharding(engine.mesh))
     # sync: device_put is async — without this the 384 MB relay upload
     # lands inside first_block_s and swamps the mode differences
     jax.block_until_ready(frames)
     t2 = time.perf_counter()
     for name, ((bs, runner), fn, variables) in runners.items():
-        chunk = frames[:bs]
+        chunk = engine._slicer(bs)(frames, 0)
         out = engine._run(runner, fn, variables, chunk)
         np.asarray(jax.device_get(out[0, 0, 0, 0]))
     first_block_s = time.perf_counter() - t2

@@ -69,13 +69,18 @@ def main():
     # representative of production PCIe; it is reported separately.
     import jax.numpy as jnp
 
+    from octseg.parallel.sharding import batch_sharding
+
     t0 = time.perf_counter()
     bs_engine = engine.block_size
     n_pad = ((n_frames + bs_engine - 1) // bs_engine) * bs_engine
     padded = np.concatenate(
         [pixels, np.zeros((n_pad - n_frames, *pixels.shape[1:]), pixels.dtype)]
     ) if n_pad != n_frames else np.asarray(pixels)
-    dev_all = jax.device_put(jnp.asarray(padded))
+    # the engine's batch sharding — an unsharded upload + eager slice would
+    # make the compiled runner reject its input on a multi-device mesh and
+    # (c) would silently measure jit-fallback recompiles
+    dev_all = jax.device_put(jnp.asarray(padded), batch_sharding(engine.mesh))
     _ = float(np.asarray(jax.device_get(dev_all[0, 0, 0, 0])))
     t_upload = time.perf_counter() - t0
 
@@ -126,12 +131,12 @@ def main():
             dev_all.dtype, extra_resident=padded.nbytes,
         )
         out = engine._run(runner, fn, variables,
-                          jax.lax.dynamic_slice_in_dim(dev_all, 0, bs))  # warm
+                          engine._slicer(bs)(dev_all, 0))  # warm
         _ = float(np.asarray(jax.device_get(probe(out))))
         t0 = time.perf_counter()
         for start in range(0, n_pad, bs):
             out = engine._run(runner, fn, variables,
-                              jax.lax.dynamic_slice_in_dim(dev_all, start, bs))
+                              engine._slicer(bs)(dev_all, start))
         _ = float(np.asarray(jax.device_get(probe(out))))
         t_compute += time.perf_counter() - t0
 

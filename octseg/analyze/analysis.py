@@ -109,19 +109,24 @@ def _run_inference_into(work_dir: str, dcm_path: str, models_dir: str,
 
     ds = dicom.dcmread(dcm_path)
     frames = ds.pixel_array
-    if frames.ndim == 3:
-        frames = frames[..., None].repeat(3, axis=-1)
+    # a grayscale DICOM stays single-channel end to end: norm (N, H, W, 1)
+    # goes straight to the engine's mono path (no replicated 3-channel
+    # allocation, no full-array gray re-detection scan); only the viewer
+    # PNGs replicate, per frame, to keep their bytes identical to the
+    # 3-channel path
+    mono = frames.ndim == 3
     os.makedirs(os.path.join(work_dir, 'img'), exist_ok=True)
     os.makedirs(os.path.join(work_dir, 'mask'), exist_ok=True)
     h, w = frames.shape[1:3]
-    norm = np.empty(frames.shape[:3] + (3,), np.uint8)
+    norm = np.empty((*frames.shape[:3], 1 if mono else 3), np.uint8)
     for idx in range(frames.shape[0]):
         img = cv2.normalize(frames[idx], None, alpha=0, beta=255,
                             norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_8U)
-        norm[idx] = img
+        norm[idx] = img[..., None] if mono else img
         name = f'frame_{idx + 1:03d}'
         cv2.imwrite(os.path.join(work_dir, 'img', f'{name}.png'),
-                    cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+                    cv2.cvtColor(img, cv2.COLOR_GRAY2BGR) if mono
+                    else cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
     # streaming device-preprocess path (engine.iter_pullback): on-device
     # BGR swap/resize instead of a per-frame host cv2 loop, single-channel
     # upload for grayscale DICOMs, host memory bounded by one block of

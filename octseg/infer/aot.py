@@ -65,6 +65,12 @@ def make_key(model_cfg: dict, fn_key: tuple, frame_shape: tuple, dtype,
         'compute_dtype': (np.dtype(compute_dtype).name if compute_dtype
                           else 'float32'),
         'int8': bool(int8),
+        # exports are per-device-kind: a .jaxexp exported on one platform
+        # must not be hit on another (it would bypass the HBM probe with a
+        # possibly-null stored memory need, and same-version cross-platform
+        # exports would overwrite each other at the same hash)
+        'platform': jax.devices()[0].platform,
+        'device_kind': jax.devices()[0].device_kind,
         'jax': jax.__version__,
         'octseg': getattr(octseg, '__version__', '0'),
     }
@@ -136,12 +142,15 @@ def save_exported(model_dir: str, key: dict, fn, variables,
     return blob_path
 
 
-def load_runner(model_dir: str, key: dict,
-                budget: Optional[int] = None) -> Optional[Tuple[int, object]]:
+def load_runner(model_dir: str, key: dict, budget: Optional[int] = None,
+                block_divides: Optional[int] = None,
+                ) -> Optional[Tuple[int, object]]:
     """(block, runner) for a previously exported program matching ``key``
     (sans 'block', which the artifact itself supplies), or None. A stored
     memory need above the current budget refuses the hit — the engine then
-    sizes blocks normally."""
+    sizes blocks normally. ``block_divides`` rejects artifacts whose block
+    does not divide it BEFORE paying the deserialize/device-load (the
+    engine's chunked slicing needs per-model blocks dividing its block)."""
     if not _enabled():
         return None
     aot_dir = os.path.join(model_dir, AOT_DIRNAME)
@@ -156,6 +165,13 @@ def load_runner(model_dir: str, key: dict,
                 meta = json.load(f)
             stored = meta.get('key', {})
             if {k: v for k, v in stored.items() if k != 'block'} != want:
+                continue
+            if block_divides is not None and (
+                    stored['block'] > block_divides
+                    or block_divides % stored['block']):
+                log.info('AOT %s: block %d incompatible with engine block '
+                         '%d — skipping', fname, stored['block'],
+                         block_divides)
                 continue
             need = meta.get('memory_need_bytes')
             if budget is not None and need is not None and need > budget:

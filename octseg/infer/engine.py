@@ -202,7 +202,8 @@ class InferenceEngine:
         return fn, variables, model_cfg
 
     def _block_for(self, model_dir_name: str, fn, variables, frame_shape,
-                   dtype, extra_resident: int = 0, fn_key: tuple = ()):
+                   dtype, extra_resident: int = 0, fn_key: tuple = (),
+                   consult_aot: bool = True):
         """(block, runner): the largest block size (engine block halved until
         it fits, ≥ mesh size) whose compiled program fits HBM — decided from
         XLA's memory analysis, never by trial execution (896-px models OOM a
@@ -222,26 +223,34 @@ class InferenceEngine:
         # masks).
         key = (model_dir_name, fn_key, tuple(frame_shape[1:]), str(dtype),
                int(budget) // (256 * 2 ** 20))
-        if key in self._blocks:
+        # consult_aot=False (export path) must not read the cache either: a
+        # cached entry may itself be an earlier AOT hit with no
+        # memory_analysis; its probe result below refreshes the cache
+        if consult_aot and key in self._blocks:
             return self._blocks[key]
         # AOT-exported program (octseg/infer/aot.py): skip tracing/lowering
         # entirely when a matching export exists and fits the current budget
-        from octseg.infer import aot as _aot
+        # (export_aot itself passes consult_aot=False so re-exporting never
+        # recycles a loaded artifact as its `compiled` — that would lose the
+        # memory_need metadata and the executable flavor)
+        if consult_aot:
+            from octseg.infer import aot as _aot
 
-        model_cfg = self._bundle(model_dir_name)[2]
-        aot_key = _aot.make_key(
-            model_cfg, fn_key, frame_shape, dtype, 0,
-            tuple(self.mesh.devices.shape), self.compute_dtype, self.int8)
-        hit = _aot.load_runner(
-            os.path.join(self.models_dir, model_dir_name), aot_key,
-            budget=int(budget))
-        # the chunked slicing contract requires per-model blocks to divide
-        # the engine block (see __init__) — reject exports from a different
-        # block scheme rather than mis-slice
-        if hit is not None and (hit[0] <= self.block_size
-                                and self.block_size % hit[0] == 0):
-            self._blocks[key] = hit
-            return hit
+            model_cfg = self._bundle(model_dir_name)[2]
+            aot_key = _aot.make_key(
+                model_cfg, fn_key, frame_shape, dtype, 0,
+                tuple(self.mesh.devices.shape), self.compute_dtype,
+                self.int8)
+            hit = _aot.load_runner(
+                os.path.join(self.models_dir, model_dir_name), aot_key,
+                budget=int(budget),
+                # chunked slicing needs per-model blocks dividing the
+                # engine block — rejected from the meta JSON, before the
+                # artifact is deserialized/device-loaded
+                block_divides=self.block_size)
+            if hit is not None:
+                self._blocks[key] = hit
+                return hit
         bs = self.block_size
         runner = None
         while True:
@@ -312,7 +321,7 @@ class InferenceEngine:
             frame_shape = (self.block_size, *shape_tail)
             bs, runner = self._block_for(
                 model_dir_name, fn, variables, frame_shape, dtype,
-                fn_key=fn_key)
+                fn_key=fn_key, consult_aot=False)
             need = None
             if runner is not None and hasattr(runner, 'memory_analysis'):
                 try:
@@ -426,8 +435,14 @@ class InferenceEngine:
         n = int(frames.shape[0])
         if n == 0:
             return
+        if not isinstance(frames, np.ndarray):
+            # np.asarray on a device array would silently DOWNLOAD the whole
+            # pullback through the relay before re-uploading it block-wise
+            raise TypeError(
+                'iter_pullback streams host-resident pullbacks; for a '
+                'device-resident array use segment_pullback')
         plan = self._ensemble_plan()
-        frames = self._as_mono_if_gray(np.asarray(frames))
+        frames = self._as_mono_if_gray(frames)
         data_shard = batch_sharding(self.mesh)
         eb = self.block_size
         # per-model programs sized against a budget holding at most two

@@ -82,10 +82,14 @@ def initialize_model_dir(
     encoder: str = 'resnet18',
     input_size: int = 512,
     seed: int = 0,
+    init_size: int | None = None,
 ) -> str:
     """Create a model dir with randomly-initialized weights + manifest
     (reference layout: weights.ckpt + config.json). Used by benchmarks and
-    tests; training overwrites weights.ckpt with real ones."""
+    tests; training overwrites weights.ckpt with real ones. ``init_size``
+    lets callers initialize at a small spatial size (shapes are
+    size-independent for these convnets) while the manifest declares the
+    real ``input_size`` — a full-size init is a multi-minute XLA compile."""
     import jax
     import jax.numpy as jnp
 
@@ -93,7 +97,8 @@ def initialize_model_dir(
 
     os.makedirs(model_dir, exist_ok=True)
     model = create_model(arch, encoder, classes=len(classes))
-    sample = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    size = init_size or input_size
+    sample = jnp.zeros((1, size, size, 3), jnp.float32)
     rng = jax.random.PRNGKey(seed)
     variables = jax.jit(
         lambda r, x: model.init({'params': r, 'dropout': r}, x, train=False)
