@@ -400,3 +400,44 @@ def test_iter_pullback_streams_blocks_matching_batch_path(models_dir, rng):
 
     # empty pullback: no yields, no crash
     assert list(engine.iter_pullback(frames[:0], output_size=[32, 32])) == []
+
+
+def test_aot_key_gates_platform_and_block(models_dir, rng, tmp_path):
+    """Artifacts from another platform/device kind must not hit (they would
+    bypass the HBM probe); incompatible-block artifacts are rejected from
+    the meta JSON alone, before any deserialize."""
+    import json
+
+    from octseg.infer import aot
+
+    frames = rng.integers(0, 255, (8, 48, 48, 3), dtype=np.uint8)
+    from octseg.infer.engine import InferenceEngine
+
+    e1 = InferenceEngine(models_dir, classes=['Lumen'], block_size=8)
+    e1.segment_pullback(frames, output_size=[32, 32])
+    paths = e1.export_aot('LM', [32, 32], frame_hw=[48, 48])
+    model_dir = os.path.join(models_dir, 'LM')
+    key = json.load(open(paths[0][:-len('jaxexp')] + 'json'))['key']
+
+    assert aot.load_runner(model_dir, key) is not None
+    # block_divides: stored block (8) must divide the engine block
+    assert aot.load_runner(model_dir, key, block_divides=8) is not None
+    assert aot.load_runner(model_dir, key, block_divides=4) is None
+    assert aot.load_runner(model_dir, key, block_divides=12) is None
+
+    # platform mismatch: same key except device identity -> no hit
+    foreign = dict(key, platform='gpu', device_kind='H100')
+    assert aot.load_runner(model_dir, foreign) is None
+
+    # and an on-disk artifact from a foreign platform never matches a local
+    # key (the stored key differs in platform/device_kind)
+    meta_path = paths[0][:-len('jaxexp')] + 'json'
+    meta = json.load(open(meta_path))
+    meta['key']['platform'] = 'gpu'
+    meta['key']['device_kind'] = 'H100'
+    with open(meta_path, 'w') as f:
+        json.dump(meta, f)
+    assert aot.load_runner(model_dir, key) is None
+    import shutil
+
+    shutil.rmtree(os.path.join(model_dir, aot.AOT_DIRNAME))
