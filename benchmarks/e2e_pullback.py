@@ -150,6 +150,19 @@ def main():
     down_rate = fetched.nbytes / max(t_down, 1e-9) / 1e6
     up_rate = padded.nbytes / max(t_upload, 1e-9) / 1e6
 
+    # host-side share of segment wall time: unpack of one fetched block +
+    # float32 result assembly, scaled to the full pullback (single-core rig)
+    from octseg.ops.bitpack import unpack_mask_bits
+
+    t0 = time.perf_counter()
+    up = unpack_mask_bits(fetched, frame_size)
+    sink = np.zeros((*up.shape[:3], 4), np.float32)
+    sink[..., 0] = up[..., 0]
+    t_host_block = time.perf_counter() - t0
+    # measured one channel for one block; the pullback unpacks+assembles 4
+    # channels (LM 1 + FC_LC 2 + VV 1) for every block of n_pad frames
+    host_unpack_assemble_s = t_host_block * 4 * n_pad / up.shape[0]
+
     n_chips = jax.device_count()
     out = {
         'n_frames': n_frames,
@@ -166,6 +179,7 @@ def main():
         'mask_bytes_unpacked_equiv': int(4 * n_pad * frame_size * frame_size),
         'relay_upload_MB_s': round(up_rate, 1),
         'relay_download_MB_s': round(down_rate, 1),
+        'host_unpack_assemble_s_est': round(host_unpack_assemble_s, 1),
         'device_compute_s': round(t_compute, 3),
         'compute_frames_per_s_per_chip': round(n_frames / t_compute / n_chips, 1),
         'est_v5e8_total_s': round(t_decode + t_compute * n_chips / 8, 3),

@@ -6,6 +6,12 @@ Framework equivalent of the reference predictor (reference: src/predict.py:
 The device path is whole-pullback batched with frame-axis sharding instead of
 the reference's per-frame loop (§3.1 of SURVEY.md).
 
+Beyond the reference: ``data_dir`` may also point at a DICOM pullback file —
+it streams through ``engine.iter_pullback`` (device preprocessing, mono
+upload for grayscale, bounded host memory) and writes the same per-frame
+overlay/mask PNGs, so one command serves a whole pullback without a frame
+extraction step.
+
 Config: configs/predict.yaml (same keys as the reference predict.yaml).
 Usage: python -m octseg.infer.predict [key=value ...]
 """
@@ -23,6 +29,47 @@ from octseg.infer.engine import InferenceEngine
 log = logging.getLogger(__name__)
 
 
+def _is_dicom(path: str) -> bool:
+    if not os.path.isfile(path):
+        return False
+    with open(path, 'rb') as f:
+        head = f.read(132)
+    return len(head) >= 132 and head[128:132] == b'DICM'
+
+
+def _predict_dicom(cfg: Config, dcm_path: str, engine: InferenceEngine,
+                   save_dir: str) -> int:
+    """Stream a DICOM pullback through the engine block by block; write the
+    reference-contract overlay/mask PNGs per frame. Returns frame count."""
+    import numpy as np
+    from PIL import Image
+
+    from octseg.data import dicom
+
+    frames = dicom.dcmread(dcm_path).pixel_array
+    if frames.dtype != np.uint8:  # e.g. 16-bit mono: scale to the 8-bit
+        peak = max(float(frames.max()), 1.0)  # range the models were fed
+        frames = (frames.astype(np.float32) * (255.0 / peak)).astype(np.uint8)
+    if frames.ndim == 3:  # grayscale: engine mono path, (N, H, W, 1)
+        frames = frames[..., None]
+    base = os.path.splitext(os.path.basename(dcm_path))[0]
+    width = len(str(frames.shape[0]))
+    out_h, out_w = int(cfg.output_size[0]), int(cfg.output_size[1])
+    for start, block_masks in engine.iter_pullback(frames, cfg.output_size):
+        images, names = [], []
+        for j in range(block_masks.shape[0]):
+            arr = frames[start + j]
+            arr = arr[..., 0] if arr.shape[-1] == 1 else arr
+            # same resize semantics as the image-dir path (data_processing)
+            images.append(Image.fromarray(arr).convert('RGB')
+                          .resize((out_w, out_h)))
+            names.append(f'{base}_{start + j + 1:0{width}d}')
+        save_results(images=images, masks=list(block_masks),
+                     images_name=names, classes=list(cfg.classes),
+                     save_dir=save_dir)
+    return int(frames.shape[0])
+
+
 @entry_point('predict')
 def main(cfg: Config) -> None:
     import octseg
@@ -35,16 +82,25 @@ def main(cfg: Config) -> None:
         if not os.path.isabs(cfg.save_dir) else cfg.save_dir
 
     start = time.time()
+    engine = InferenceEngine(
+        models_dir=models_dir, classes=list(cfg.classes),
+        bf16=bool(cfg.get('bf16', False)), int8=bool(cfg.get('int8', False)),
+    )
+
+    if _is_dicom(data_dir):
+        os.makedirs(save_dir, exist_ok=True)
+        n = _predict_dicom(cfg, data_dir, engine, save_dir)
+        log.info('Pullback frames: %d', n)
+        log.info('Overall computation time: %.1f s', time.time() - start)
+        log.info('Complete')
+        return
+
     images, masks, images_name = data_processing(
         data_path=data_dir, save_dir=save_dir, output_size=cfg.output_size
     )
     log.info('Number of images: %d', len(images_name))
 
     start_inference = time.time()
-    engine = InferenceEngine(
-        models_dir=models_dir, classes=list(cfg.classes),
-        bf16=bool(cfg.get('bf16', False)), int8=bool(cfg.get('int8', False)),
-    )
     masks = engine.segment(images=images, masks=masks, output_size=cfg.output_size)
     log.info('Prediction time: %.1f s', time.time() - start_inference)
 

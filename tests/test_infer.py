@@ -441,3 +441,30 @@ def test_aot_key_gates_platform_and_block(models_dir, rng, tmp_path):
     import shutil
 
     shutil.rmtree(os.path.join(model_dir, aot.AOT_DIRNAME))
+
+
+def test_predict_entry_point_dicom_pullback(models_dir, tmp_path, rng):
+    """data_dir pointing at a DICOM pullback streams through iter_pullback
+    and writes the same overlay/mask PNG contract, one pair per frame."""
+    from octseg.core.config import Config
+    from octseg.data import dicom
+    from octseg.infer.predict import main
+
+    frames = rng.integers(0, 255, (5, 64, 64), dtype=np.uint8)  # grayscale
+    dcm_path = str(tmp_path / 'IMG001')
+    dicom.dcmwrite(dcm_path, frames)
+    save_dir = str(tmp_path / 'out')
+    cfg = Config(
+        data_dir=dcm_path,
+        models_dir=models_dir,
+        save_dir=save_dir,
+        output_size=[48, 48],
+        device='auto',
+        classes=['Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum'],
+    )
+    main(cfg)
+    outs = sorted(os.listdir(save_dir))
+    assert len(outs) == 10  # 5 frames x (mask + overlay)
+    assert 'IMG001_1_overlay.png' in outs and 'IMG001_5_mask.png' in outs
+    overlay = np.array(Image.open(os.path.join(save_dir, 'IMG001_1_overlay.png')))
+    assert overlay.shape == (48, 48, 3)
