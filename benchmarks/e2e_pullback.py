@@ -151,17 +151,20 @@ def main():
     up_rate = padded.nbytes / max(t_upload, 1e-9) / 1e6
 
     # host-side share of segment wall time: unpack of one fetched block +
-    # float32 result assembly, scaled to the full pullback (single-core rig)
+    # float32 result assembly, scaled to the full pullback (single-core
+    # rig). The result allocation happens ONCE per pullback, not per block
+    # — keep it outside the timed region or the estimate inflates ~4x.
     from octseg.ops.bitpack import unpack_mask_bits
 
+    sink = np.zeros((fetched.shape[0], frame_size, frame_size, 4),
+                    np.float32)
     t0 = time.perf_counter()
     up = unpack_mask_bits(fetched, frame_size)
-    sink = np.zeros((*up.shape[:3], 4), np.float32)
     sink[..., 0] = up[..., 0]
     t_host_block = time.perf_counter() - t0
     # measured one channel for one block; the pullback unpacks+assembles 4
     # channels (LM 1 + FC_LC 2 + VV 1) for every block of n_pad frames
-    host_unpack_assemble_s = t_host_block * 4 * n_pad / up.shape[0]
+    host_unpack_assemble_s = t_host_block * 4 * n_pad / fetched.shape[0]
 
     n_chips = jax.device_count()
     out = {

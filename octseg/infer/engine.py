@@ -484,11 +484,9 @@ class InferenceEngine:
                     self._run(runner, fn, variables, slicer(cur, s))
                     for s in range(0, eb, bs)]
             for model_dir_name, classes in plan.items():
-                pred = np.concatenate(
-                    [unpack_mask_bits(np.asarray(o), out_w)
-                     for o in pending[model_dir_name]], axis=0)[:take]
-                for _class_name, ch, mask_ch in classes:
-                    block_masks[:, :, :, mask_ch] = pred[:, :, :, ch]
+                self._drain(pending[model_dir_name],
+                            runs[model_dir_name][2], take, out_w, classes,
+                            block_masks)
             yield start, block_masks
 
     def segment_pullback(
@@ -540,12 +538,34 @@ class InferenceEngine:
                 self._run(runner, fn, variables, slicer(frames, start))
                 for start in range(0, n + pad_total, bs)
             ]
-            pred = np.concatenate(
-                [unpack_mask_bits(np.asarray(o), out_w) for o in outs],
-                axis=0)[:n]
-            for _class_name, ch, mask_ch in class_routes:
-                result[:, :, :, mask_ch] = pred[:, :, :, ch]
+            # fetch -> unpack -> write each block straight into the result:
+            # no whole-pullback intermediate (a concat would copy 2 GB for a
+            # 500-frame pullback), and a 1-thread prefetch keeps the next
+            # block's relay download in flight while this one unpacks
+            self._drain(outs, bs, n, out_w, class_routes, result)
         return result
+
+    @staticmethod
+    def _drain(outs, bs: int, n: int, out_w: int, class_routes,
+               result: np.ndarray, offset: int = 0) -> None:
+        """Fetch each dispatched block, unpack its bits, and write the routed
+        channels into ``result[offset + k*bs : ...]``; the next block's
+        device→host transfer overlaps the current block's host work."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as pool:
+            fut = pool.submit(np.asarray, outs[0])
+            for k in range(len(outs)):
+                arr = fut.result()
+                if k + 1 < len(outs):
+                    fut = pool.submit(np.asarray, outs[k + 1])
+                lo = offset + k * bs
+                if lo >= offset + n:
+                    break
+                hi = min(lo + bs, offset + n)
+                pred = unpack_mask_bits(arr[: hi - lo], out_w)
+                for _class_name, ch, mask_ch in class_routes:
+                    result[lo:hi, :, :, mask_ch] = pred[:, :, :, ch]
 
     def segment(
         self,
