@@ -57,6 +57,20 @@ def calculate_thickness_contour(mask: np.ndarray) -> Dict[str, Any]:
     }
 
 
+def quantify_frame(channel: np.ndarray, ratio: int) -> Dict[str, float]:
+    """One frame × one class quantification (the numeric core of
+    :func:`get_analysis`, reference src/app/tools/analysis.py:199-213):
+    area = sqrt(nonzero_px // ratio), thickness median/min of contour-point
+    distances to the contour centroid, scaled by ratio. ``channel`` is a
+    binary (H, W) uint8 mask."""
+    thickness = calculate_thickness_contour(channel)
+    return {
+        'area': pow(int(np.count_nonzero(channel)) // ratio, 0.5),
+        'thickness_mean': thickness['median'] / ratio,
+        'thickness_min': thickness['min'] / ratio,
+    }
+
+
 def calculate_object_thickness(mask: np.ndarray) -> Dict[str, Any]:
     """360° ray-march from the image center: per-degree outermost contiguous
     object radius (vectorized re-expression of the reference's pixel walk)."""
@@ -256,10 +270,10 @@ def get_analysis(
             else:
                 obj['object_id'].append(obj['object_id'][-1] + 1)
             obj['slice'].append(idx)
-            obj['area'].append(pow(int(np.count_nonzero(channel)) // ratio, 0.5))
-            thickness = calculate_thickness_contour(channel)
-            obj['thickness_mean'].append(thickness['median'] / ratio)
-            obj['thickness_min'].append(thickness['min'] / ratio)
+            q = quantify_frame(channel, ratio)
+            obj['area'].append(q['area'])
+            obj['thickness_mean'].append(q['thickness_mean'])
+            obj['thickness_min'].append(q['thickness_min'])
             buff = BytesIO()
             Image.fromarray(channel).save(buff, format='png')
             obj['masks'].append(base64.b64encode(buff.getvalue()).decode('utf-8'))

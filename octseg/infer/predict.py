@@ -37,21 +37,33 @@ def _is_dicom(path: str) -> bool:
     return len(head) >= 132 and head[128:132] == b'DICM'
 
 
-def _predict_dicom(cfg: Config, dcm_path: str, engine: InferenceEngine,
-                   save_dir: str) -> int:
-    """Stream a DICOM pullback through the engine block by block; write the
-    reference-contract overlay/mask PNGs per frame. Returns frame count."""
+def load_pullback_frames(dcm_path: str):
+    """DICOM pullback → (N, H, W, C) uint8 frames ready for the engine
+    (C = 1 mono / 3 RGB). Non-uint8 data is per-slice min-max normalized —
+    the same transform the data-prep chain applied to every training frame
+    (octseg.data.convert_dicoms, reference src/data/convert_dicoms.py:73-80)
+    — so model inputs match the trained distribution."""
     import numpy as np
-    from PIL import Image
 
     from octseg.data import dicom
 
     frames = dicom.dcmread(dcm_path).pixel_array
-    if frames.dtype != np.uint8:  # e.g. 16-bit mono: scale to the 8-bit
-        peak = max(float(frames.max()), 1.0)  # range the models were fed
-        frames = (frames.astype(np.float32) * (255.0 / peak)).astype(np.uint8)
+    if frames.dtype != np.uint8:
+        from octseg.data.convert_dicoms import normalize_slice
+
+        frames = np.stack([normalize_slice(f) for f in frames])
     if frames.ndim == 3:  # grayscale: engine mono path, (N, H, W, 1)
         frames = frames[..., None]
+    return frames
+
+
+def _predict_dicom(cfg: Config, dcm_path: str, engine: InferenceEngine,
+                   save_dir: str) -> int:
+    """Stream a DICOM pullback through the engine block by block; write the
+    reference-contract overlay/mask PNGs per frame. Returns frame count."""
+    from PIL import Image
+
+    frames = load_pullback_frames(dcm_path)
     base = os.path.splitext(os.path.basename(dcm_path))[0]
     width = len(str(frames.shape[0]))
     out_h, out_w = int(cfg.output_size[0]), int(cfg.output_size[1])

@@ -468,3 +468,52 @@ def test_predict_entry_point_dicom_pullback(models_dir, tmp_path, rng):
     assert 'IMG001_1_overlay.png' in outs and 'IMG001_5_mask.png' in outs
     overlay = np.array(Image.open(os.path.join(save_dir, 'IMG001_1_overlay.png')))
     assert overlay.shape == (48, 48, 3)
+
+
+def test_predict_dicom_16bit_normalizes_per_slice(models_dir, tmp_path, rng,
+                                                  monkeypatch):
+    """Non-uint8 pullbacks are per-slice min-max normalized — the same
+    transform the data-prep chain applied to every training frame
+    (octseg.data.convert_dicoms; reference src/data/convert_dicoms.py:73-80)
+    — not globally peak-scaled."""
+    import octseg.infer.predict as predict_mod
+    from octseg.core.config import Config
+    from octseg.data.convert_dicoms import normalize_slice
+
+    # slice 0 spans a dim range, slice 1 is bright: per-slice normalization
+    # stretches both to the full 0..255 range; global peak scaling would not
+    frames16 = np.stack([
+        rng.integers(100, 900, (64, 64)).astype(np.uint16),
+        rng.integers(30000, 60000, (64, 64)).astype(np.uint16),
+    ])
+    seen = {}
+
+    class _DS:
+        pixel_array = frames16
+
+    monkeypatch.setattr(predict_mod, '_is_dicom', lambda p: True)
+    monkeypatch.setattr('octseg.data.dicom.dcmread', lambda p: _DS())
+
+    orig_iter = predict_mod.InferenceEngine.iter_pullback
+
+    def spy(self, frames, output_size):
+        seen['frames'] = np.asarray(frames)
+        return orig_iter(self, frames, output_size)
+
+    monkeypatch.setattr(predict_mod.InferenceEngine, 'iter_pullback', spy)
+    save_dir = str(tmp_path / 'out16')
+    cfg = Config(
+        data_dir=str(tmp_path / 'IMG016'),
+        models_dir=models_dir,
+        save_dir=save_dir,
+        output_size=[48, 48],
+        device='auto',
+        classes=['Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum'],
+    )
+    predict_mod.main(cfg)
+    got = seen['frames'][..., 0]
+    expect = np.stack([normalize_slice(f) for f in frames16])
+    np.testing.assert_array_equal(got, expect)
+    assert got[0].min() == 0 and got[0].max() == 255  # both slices stretched
+    assert got[1].min() == 0 and got[1].max() == 255
+    assert len(os.listdir(save_dir)) == 4  # 2 frames x (mask + overlay)

@@ -1,0 +1,208 @@
+"""Production inference service (octseg.infer.serve): transport encoding,
+metrics, admission control, and the end-to-end HTTP surface.
+
+The reference ships no serving API at all (its app's inference mode is a
+stub, reference src/app/tools/analysis.py:138,166); this is the
+machine-facing surface documented in docs/SERVING.md.
+"""
+
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from octseg.infer.serve import Metrics, decode_block, encode_block
+
+
+def test_encode_decode_block_roundtrip(rng):
+    masks = (rng.random((3, 17, 23, 4)) > 0.6).astype(np.float32)
+    rec = encode_block(masks)
+    out = decode_block(rec, 3, 17, 23)
+    np.testing.assert_array_equal(out, masks)
+
+
+def test_encode_decode_block_partial_final_block(rng):
+    # count * H * W * 4 not a multiple of 8: packbits pads, decode trims
+    masks = (rng.random((1, 5, 7, 4)) > 0.5).astype(np.float32)
+    out = decode_block(encode_block(masks), 1, 5, 7)
+    np.testing.assert_array_equal(out, masks)
+
+
+def test_metrics_prometheus_rendering():
+    m = Metrics()
+    m.count('pullback', 200)
+    m.count('pullback', 200)
+    m.count('healthz', 200)
+    m.frames_total = 42
+    text = m.render()
+    assert 'octseg_requests_total{endpoint="pullback",status="200"} 2' in text
+    assert 'octseg_frames_total 42' in text
+    assert text.endswith('\n')
+    # every non-comment line is "name{labels} value" or "name value"
+    for line in text.strip().splitlines():
+        if not line.startswith('#'):
+            assert len(line.rsplit(' ', 1)) == 2
+
+
+@pytest.fixture(scope='module')
+def server(tmp_path_factory):
+    from tests.test_infer import make_model_dir
+
+    root = str(tmp_path_factory.mktemp('serve_models'))
+    make_model_dir(root, 'LM', ['Lumen'])
+    make_model_dir(root, 'FC_LC', ['Lipid core', 'Fibrous cap'])
+    make_model_dir(root, 'VV', ['Vasa vasorum'])
+    from octseg.core.config import Config
+    from octseg.infer.serve import serve
+
+    cfg = Config(
+        host='127.0.0.1', port=0, models_dir=root,
+        output_size=[48, 48], max_queued=0, block_size=8,
+        classes=['Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum'],
+    )
+    httpd = serve(cfg, block=False)
+    yield httpd
+    httpd.shutdown()
+
+
+def _url(server, path):
+    host, port = server.server_address
+    return f'http://{host}:{port}{path}'
+
+
+def _dicom_bytes(rng, n=5, size=64):
+    import os
+    import tempfile
+
+    from octseg.data import dicom
+
+    frames = rng.integers(0, 255, (n, size, size, 3), dtype=np.uint8)
+    fd, path = tempfile.mkstemp()
+    os.close(fd)
+    dicom.dcmwrite(path, frames)
+    with open(path, 'rb') as f:
+        body = f.read()
+    os.unlink(path)
+    return frames, body
+
+
+@pytest.mark.slow
+def test_serve_healthz_and_routes(server):
+    with urllib.request.urlopen(_url(server, '/healthz')) as r:
+        health = json.loads(r.read())
+    assert health['status'] == 'ok'
+    assert sorted(health['models']) == ['FC_LC', 'LM', 'VV']
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(_url(server, '/nope'))
+    assert e.value.code == 404
+
+
+@pytest.mark.slow
+def test_serve_pullback_masks_stream_matches_engine(server, rng):
+    frames, body = _dicom_bytes(rng)
+    req = urllib.request.Request(_url(server, '/v1/pullback'), data=body,
+                                 method='POST')
+    with urllib.request.urlopen(req) as r:
+        assert r.headers['Content-Type'] == 'application/x-ndjson'
+        lines = [json.loads(ln) for ln in r.read().splitlines()]
+    header, blocks, end = lines[0], lines[1:-1], lines[-1]
+    assert header['type'] == 'header' and header['frames'] == 5
+    assert end['type'] == 'end' and end['frames'] == 5
+    got = np.zeros((5, 48, 48, 4), np.float32)
+    for b in blocks:
+        assert b['type'] == 'block'
+        got[b['start']:b['start'] + b['count']] = decode_block(
+            b, b['count'], header['height'], header['width'])
+    expect = server.octseg_state.engine.segment_pullback(frames, [48, 48])
+    np.testing.assert_array_equal(got, expect)
+    # metrics moved
+    with urllib.request.urlopen(_url(server, '/metrics')) as r:
+        text = r.read().decode()
+    assert 'octseg_requests_total{endpoint="pullback",status="200"}' in text
+    assert 'octseg_frames_total' in text
+
+
+@pytest.mark.slow
+def test_serve_pullback_quant(server, rng):
+    frames, body = _dicom_bytes(rng)
+    req = urllib.request.Request(_url(server, '/v1/pullback?format=quant'),
+                                 data=body, method='POST')
+    with urllib.request.urlopen(req) as r:
+        payload = json.loads(r.read())
+    assert payload['frames'] == 5
+    assert payload['ratio'] == max(1, 64 * 150 // 1000)
+    assert set(payload['objects']) == {
+        'Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum'}
+    # random-weight models produce some mask somewhere; rows are aligned
+    for obj in payload['objects'].values():
+        n = len(obj['slice'])
+        assert (len(obj['area']) == len(obj['object_id'])
+                == len(obj['thickness_mean']) == len(obj['thickness_min']) == n)
+        assert all(0 <= s < 5 for s in obj['slice'])
+
+
+@pytest.mark.slow
+def test_serve_quant_rows_match_analyzer_math(server, rng):
+    """quant output reproduces get_analysis's numbers for the same masks."""
+    from octseg.analyze.analysis import quantify_frame
+    from octseg.infer.serve import quantify_pullback
+
+    frames, _body = _dicom_bytes(rng)
+    state = server.octseg_state
+    payload = quantify_pullback(state, frames)
+    masks = state.engine.segment_pullback(frames, [48, 48]).astype(np.uint8)
+    ratio = max(1, 64 * 150 // 1000)
+    from octseg.core.registry import CLASS_IDS
+
+    for class_name, obj in payload['objects'].items():
+        ch = CLASS_IDS[class_name] - 1
+        expect_slices = [i for i in range(5) if masks[i, :, :, ch].any()]
+        assert obj['slice'] == expect_slices
+        for row, idx in enumerate(expect_slices):
+            q = quantify_frame(masks[idx, :, :, ch] * 255, ratio)
+            assert obj['area'][row] == pytest.approx(q['area'])
+            assert obj['thickness_mean'][row] == pytest.approx(q['thickness_mean'])
+
+
+@pytest.mark.slow
+def test_serve_admission_control_503(server, rng):
+    """max_queued=0: while one job holds admission, a second gets 503."""
+    state = server.octseg_state
+    assert state.admit()  # simulate an in-flight job
+    try:
+        _frames, body = _dicom_bytes(rng, n=2)
+        req = urllib.request.Request(_url(server, '/v1/pullback'), data=body,
+                                     method='POST')
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 503
+        assert e.value.headers['Retry-After']
+    finally:
+        state.release()
+    # after release the service admits again
+    frames, body = _dicom_bytes(rng, n=2)
+    req = urllib.request.Request(_url(server, '/v1/pullback'), data=body,
+                                 method='POST')
+    with urllib.request.urlopen(req) as r:
+        lines = [json.loads(ln) for ln in r.read().splitlines()]
+    assert lines[-1]['type'] == 'end'
+
+
+@pytest.mark.slow
+def test_serve_rejects_bad_requests(server):
+    # unknown format
+    req = urllib.request.Request(_url(server, '/v1/pullback?format=xml'),
+                                 data=b'x', method='POST')
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+    # malformed DICOM body → clean 500, server stays up
+    req = urllib.request.Request(_url(server, '/v1/pullback'),
+                                 data=b'not a dicom', method='POST')
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 500
+    with urllib.request.urlopen(_url(server, '/healthz')) as r:
+        assert json.loads(r.read())['status'] == 'ok'
