@@ -191,6 +191,41 @@ def test_serve_admission_control_503(server, rng):
 
 
 @pytest.mark.slow
+def test_client_end_to_end(server, rng, tmp_path):
+    """octseg.infer.client drives the service and writes the predict
+    contract (overlay/mask PNG pair per frame) from the streamed blocks."""
+    import os
+
+    from octseg.core.config import Config
+    from octseg.data import dicom
+    from octseg.infer.client import run
+
+    frames = rng.integers(0, 255, (3, 64, 64, 3), dtype=np.uint8)
+    dcm_path = str(tmp_path / 'IMG009')
+    dicom.dcmwrite(dcm_path, frames)
+    host, port = server.server_address
+    save_dir = str(tmp_path / 'client_out')
+    cfg = Config(server_url=f'http://{host}:{port}', dcm_path=dcm_path,
+                 save_dir=save_dir, format='masks',
+                 classes=['Lumen', 'Fibrous cap', 'Lipid core',
+                          'Vasa vasorum'])
+    assert run(cfg) == 3
+    outs = sorted(os.listdir(save_dir))
+    assert len(outs) == 6  # 3 frames x (mask + overlay)
+    assert 'IMG009_1_overlay.png' in outs and 'IMG009_3_mask.png' in outs
+
+    # quant mode writes one JSON
+    qdir = str(tmp_path / 'client_quant')
+    cfg = Config(server_url=f'http://{host}:{port}', dcm_path=dcm_path,
+                 save_dir=qdir, format='quant',
+                 classes=['Lumen', 'Fibrous cap', 'Lipid core',
+                          'Vasa vasorum'])
+    assert run(cfg) == 3
+    payload = json.load(open(os.path.join(qdir, 'quant.json')))
+    assert payload['frames'] == 3
+
+
+@pytest.mark.slow
 def test_serve_rejects_bad_requests(server):
     # unknown format
     req = urllib.request.Request(_url(server, '/v1/pullback?format=xml'),
