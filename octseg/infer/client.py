@@ -7,8 +7,10 @@ rendering each NDJSON mask block as it streams in, so output appears while
 the server is still computing the rest of the pullback. ``format=quant``
 instead fetches the per-frame quantification rows and writes one JSON.
 
-stdlib-only on the client side apart from numpy/PIL (no jax needed), so it
-runs on a workstation with no TPU stack installed.
+Runs on a workstation with no TPU stack installed: quant mode touches no
+jax at all, and masks mode renders through the same ``save_results`` chain
+as the local predict CLI (jax-on-CPU — byte-identical output to a local
+run over the same masks).
 
 Config: configs/client.yaml.  Usage:
     python -m octseg.infer.client server_url=http://host:7884 \

@@ -256,10 +256,13 @@ def make_handler(state: ServeState):
                 state.metrics.count('pullback', 400)
                 return
             length = int(self.headers.get('Content-Length') or 0)
-            if length <= 0 or length > MAX_BODY_BYTES:
-                self._send_json(411, {'error': 'Content-Length required '
-                                               f'(0 < n <= {MAX_BODY_BYTES})'})
+            if length <= 0:
+                self._send_json(411, {'error': 'Content-Length required'})
                 state.metrics.count('pullback', 411)
+                return
+            if length > MAX_BODY_BYTES:
+                self._send_json(413, {'error': f'body exceeds {MAX_BODY_BYTES}'})
+                state.metrics.count('pullback', 413)
                 return
             if not state.admit():
                 self._send_json(503, {'error': 'busy'},
