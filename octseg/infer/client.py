@@ -41,34 +41,27 @@ def stream_pullback(server_url: str, dcm_path: str, fmt: str = 'masks',
     if fmt != 'masks':
         url += f'?format={fmt}'
     req = urllib.request.Request(url, data=body, method='POST')
-    resp = urllib.request.urlopen(req, timeout=timeout)
-    if fmt == 'quant':
-        yield json.loads(resp.read())
-        return
-    for line in resp:
-        if line.strip():
-            yield json.loads(line)
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        if fmt == 'quant':
+            yield json.loads(resp.read())
+            return
+        for line in resp:
+            if line.strip():
+                yield json.loads(line)
 
 
 def save_block(frames: np.ndarray, block: dict, header: dict, classes,
                save_dir: str, base: str, width: int) -> None:
-    """Render one streamed block to the predict-contract PNG pair per frame."""
-    from PIL import Image
-
-    from octseg.data.utils import save_results
+    """Render one streamed block via the shared predict render recipe —
+    byte-identical to a local ``octseg.infer.predict`` run."""
+    from octseg.infer.predict import render_mask_block
     from octseg.infer.serve import decode_block
 
-    start, count = block['start'], block['count']
-    masks = decode_block(block, count, header['height'], header['width'])
-    images, names = [], []
-    for j in range(count):
-        arr = frames[start + j]
-        arr = arr[..., 0] if (arr.ndim == 3 and arr.shape[-1] == 1) else arr
-        images.append(Image.fromarray(arr).convert('RGB')
-                      .resize((header['width'], header['height'])))
-        names.append(f'{base}_{start + j + 1:0{width}d}')
-    save_results(images=images, masks=list(masks), images_name=names,
-                 classes=list(classes), save_dir=save_dir)
+    masks = decode_block(block, block['count'], header['height'],
+                         header['width'])
+    render_mask_block(frames, masks, block['start'],
+                      (header['height'], header['width']), classes,
+                      save_dir, base, width)
 
 
 def run(cfg: Config) -> int:
@@ -92,6 +85,7 @@ def run(cfg: Config) -> int:
     width = len(str(frames.shape[0]))
     header = None
     done = 0
+    complete = False
     for rec in stream_pullback(cfg.server_url, cfg.dcm_path, 'masks'):
         if rec['type'] == 'header':
             header = rec
@@ -102,7 +96,17 @@ def run(cfg: Config) -> int:
             log.info('rendered frames %d-%d / %d', rec['start'] + 1,
                      rec['start'] + rec['count'], header['frames'])
         elif rec['type'] == 'end':
+            complete = True
             log.info('server wall: %.1f s', rec['seconds'])
+    # a server that died mid-pullback just closes the stream — the missing
+    # 'end' record is the client's truncation signal; fail loudly instead
+    # of exiting 0 with partial PNGs
+    if header is None or not complete or done != header['frames']:
+        raise RuntimeError(
+            f'stream truncated: rendered {done} of '
+            f'{header["frames"] if header else "?"} frames (no end record)'
+            if not complete else
+            f'stream incomplete: rendered {done} of {header["frames"]} frames')
     return done
 
 

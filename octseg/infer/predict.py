@@ -57,28 +57,38 @@ def load_pullback_frames(dcm_path: str):
     return frames
 
 
+def render_mask_block(frames, block_masks, start: int, out_size, classes,
+                      save_dir: str, base: str, width: int) -> None:
+    """Write the predict PNG contract (``{base}_{i}_overlay.png`` +
+    ``_mask.png``) for one streamed block of masks — the ONE render recipe
+    shared by the local DICOM path and the remote client
+    (octseg.infer.client), so their outputs stay byte-identical."""
+    from PIL import Image
+
+    out_h, out_w = int(out_size[0]), int(out_size[1])
+    images, names = [], []
+    for j in range(block_masks.shape[0]):
+        arr = frames[start + j]
+        arr = arr[..., 0] if (arr.ndim == 3 and arr.shape[-1] == 1) else arr
+        # same resize semantics as the image-dir path (data_processing)
+        images.append(Image.fromarray(arr).convert('RGB')
+                      .resize((out_w, out_h)))
+        names.append(f'{base}_{start + j + 1:0{width}d}')
+    save_results(images=images, masks=list(block_masks),
+                 images_name=names, classes=list(classes),
+                 save_dir=save_dir)
+
+
 def _predict_dicom(cfg: Config, dcm_path: str, engine: InferenceEngine,
                    save_dir: str) -> int:
     """Stream a DICOM pullback through the engine block by block; write the
     reference-contract overlay/mask PNGs per frame. Returns frame count."""
-    from PIL import Image
-
     frames = load_pullback_frames(dcm_path)
     base = os.path.splitext(os.path.basename(dcm_path))[0]
     width = len(str(frames.shape[0]))
-    out_h, out_w = int(cfg.output_size[0]), int(cfg.output_size[1])
     for start, block_masks in engine.iter_pullback(frames, cfg.output_size):
-        images, names = [], []
-        for j in range(block_masks.shape[0]):
-            arr = frames[start + j]
-            arr = arr[..., 0] if arr.shape[-1] == 1 else arr
-            # same resize semantics as the image-dir path (data_processing)
-            images.append(Image.fromarray(arr).convert('RGB')
-                          .resize((out_w, out_h)))
-            names.append(f'{base}_{start + j + 1:0{width}d}')
-        save_results(images=images, masks=list(block_masks),
-                     images_name=names, classes=list(cfg.classes),
-                     save_dir=save_dir)
+        render_mask_block(frames, block_masks, start, cfg.output_size,
+                          cfg.classes, save_dir, base, width)
     return int(frames.shape[0])
 
 

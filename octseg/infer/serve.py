@@ -81,7 +81,7 @@ class Metrics:
         self.frames_total = 0
         self.request_seconds_sum = 0.0
         self.busy = 0
-        self.queued = 0
+        self.admitted = 0
         self.rejected_total = 0
 
     def count(self, endpoint: str, status: int) -> None:
@@ -101,8 +101,8 @@ class Metrics:
                 f'octseg_request_seconds_sum {self.request_seconds_sum:.3f}',
                 '# TYPE octseg_busy gauge',
                 f'octseg_busy {self.busy}',
-                '# TYPE octseg_queued gauge',
-                f'octseg_queued {self.queued}',
+                '# TYPE octseg_queued gauge',  # admitted but not yet on the device
+                f'octseg_queued {max(0, self.admitted - self.busy)}',
                 '# TYPE octseg_rejected_total counter',
                 f'octseg_rejected_total {self.rejected_total}',
             ]
@@ -136,7 +136,7 @@ class ServeState:
         ok = self._admission.acquire(blocking=False)
         if ok:
             with self.metrics._lock:
-                self.metrics.queued += 1
+                self.metrics.admitted += 1
         else:
             with self.metrics._lock:
                 self.metrics.rejected_total += 1
@@ -144,7 +144,7 @@ class ServeState:
 
     def release(self) -> None:
         with self.metrics._lock:
-            self.metrics.queued -= 1
+            self.metrics.admitted -= 1
         self._admission.release()
 
     def device(self):
@@ -176,11 +176,13 @@ def quantify_pullback(state: ServeState, frames: np.ndarray) -> Dict[str, Any]:
     src/app/tools/analysis.py:190-213) without a work dir or image payloads."""
     from octseg.analyze.analysis import quantify_frame
 
-    ratio = max(1, int(frames.shape[1] * 150 // 1000))
+    # masks are quantified at output_size resolution, so the px→unit ratio
+    # must come from the SAME resolution (get_analysis's ratio source and
+    # mask resolution always coincide; reference analysis.py:155)
+    ratio = max(1, int(state.output_size[0] * 150 // 1000))
     objects: Dict[str, Dict[str, list]] = {
         c: {'slice': [], 'object_id': [], 'area': [], 'thickness_mean': [],
             'thickness_min': []} for c in state.classes}
-    out_h, out_w = state.output_size
     for start, block_masks in state.engine.iter_pullback(
             frames, state.output_size):
         blk = block_masks.astype(np.uint8)
@@ -189,7 +191,11 @@ def quantify_pullback(state: ServeState, frames: np.ndarray) -> Dict[str, Any]:
             for class_name in state.classes:
                 ch = CLASS_IDS[class_name] - 1
                 channel = blk[j, :, :, ch] * 255
-                if not channel.any():
+                # analyzer parity: a frame counts only when the channel is
+                # binary with BOTH values present — an all-set mask is
+                # skipped too (get_analysis's np.unique(...)!=2 check,
+                # reference analysis.py:186)
+                if not channel.any() or channel.all():
                     continue
                 obj = objects[class_name]
                 # instance tracking by slice continuity
@@ -270,16 +276,22 @@ def make_handler(state: ServeState):
                 state.metrics.count('pullback', 503)
                 return
             t0 = time.time()
+            self._streaming_started = False
             try:
                 self._handle_pullback(length, fmt)
             except BrokenPipeError:
                 log.warning('client dropped mid-stream')
+                state.metrics.count('pullback', 499)  # client closed
             except Exception as e:  # surface as a 500, never kill the server
                 log.exception('pullback request failed')
-                try:
-                    self._send_json(500, {'error': str(e)})
-                except Exception:
-                    pass
+                if not self._streaming_started:
+                    try:
+                        self._send_json(500, {'error': str(e)})
+                    except Exception:
+                        pass
+                # else: the 200 + NDJSON headers are already on the wire —
+                # writing a second status line would corrupt the stream, so
+                # just close; the client detects the missing 'end' record
                 state.metrics.count('pullback', 500)
             finally:
                 state.release()
@@ -328,6 +340,7 @@ def make_handler(state: ServeState):
             self.send_response(200)
             self.send_header('Content-Type', 'application/x-ndjson')
             self.end_headers()
+            self._streaming_started = True
 
             def line(obj: Dict[str, Any]) -> None:
                 self.wfile.write(json.dumps(obj).encode() + b'\n')

@@ -132,7 +132,8 @@ def test_serve_pullback_quant(server, rng):
     with urllib.request.urlopen(req) as r:
         payload = json.loads(r.read())
     assert payload['frames'] == 5
-    assert payload['ratio'] == max(1, 64 * 150 // 1000)
+    # ratio comes from the OUTPUT resolution the masks are quantified at
+    assert payload['ratio'] == max(1, 48 * 150 // 1000)
     assert set(payload['objects']) == {
         'Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum'}
     # random-weight models produce some mask somewhere; rows are aligned
@@ -153,12 +154,16 @@ def test_serve_quant_rows_match_analyzer_math(server, rng):
     state = server.octseg_state
     payload = quantify_pullback(state, frames)
     masks = state.engine.segment_pullback(frames, [48, 48]).astype(np.uint8)
-    ratio = max(1, 64 * 150 // 1000)
+    ratio = max(1, 48 * 150 // 1000)
     from octseg.core.registry import CLASS_IDS
 
     for class_name, obj in payload['objects'].items():
         ch = CLASS_IDS[class_name] - 1
-        expect_slices = [i for i in range(5) if masks[i, :, :, ch].any()]
+        # analyzer presence rule: binary with BOTH values present (an
+        # all-set mask is skipped, get_analysis's unique!=2 check)
+        expect_slices = [i for i in range(5)
+                         if masks[i, :, :, ch].any()
+                         and not masks[i, :, :, ch].all()]
         assert obj['slice'] == expect_slices
         for row, idx in enumerate(expect_slices):
             q = quantify_frame(masks[idx, :, :, ch] * 255, ratio)
@@ -223,6 +228,29 @@ def test_client_end_to_end(server, rng, tmp_path):
     assert run(cfg) == 3
     payload = json.load(open(os.path.join(qdir, 'quant.json')))
     assert payload['frames'] == 3
+
+
+def test_client_raises_on_truncated_stream(tmp_path, rng, monkeypatch):
+    """A stream that closes without the 'end' record (server died
+    mid-pullback) is a loud RuntimeError, not exit-0 with partial PNGs."""
+    import octseg.infer.client as client_mod
+    from octseg.core.config import Config
+    from octseg.data import dicom
+
+    frames = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    dcm_path = str(tmp_path / 'IMG010')
+    dicom.dcmwrite(dcm_path, frames)
+
+    def fake_stream(server_url, dcm_path, fmt='masks', timeout=3600.0):
+        yield {'type': 'header', 'frames': 2, 'height': 32, 'width': 32,
+               'classes': [], 'encoding': 'packbits'}
+        # connection drops: no block, no end record
+
+    monkeypatch.setattr(client_mod, 'stream_pullback', fake_stream)
+    cfg = Config(server_url='http://x', dcm_path=dcm_path,
+                 save_dir=str(tmp_path / 'out'), format='masks', classes=[])
+    with pytest.raises(RuntimeError, match='truncated'):
+        client_mod.run(cfg)
 
 
 @pytest.mark.slow
