@@ -66,8 +66,6 @@ def save_block(frames: np.ndarray, block: dict, header: dict, classes,
 
 def run(cfg: Config) -> int:
     """Drive one pullback through the service; returns frames written."""
-    from octseg.infer.predict import load_pullback_frames
-
     fmt = cfg.get('format', 'masks')
     os.makedirs(cfg.save_dir, exist_ok=True)
     if fmt == 'quant':
@@ -79,7 +77,10 @@ def run(cfg: Config) -> int:
         return int(payload['frames'])
 
     # masks: render blocks as they stream; frames are re-read locally for
-    # the overlay (the service never sends pixels back)
+    # the overlay (the service never sends pixels back). Imported here so
+    # quant mode stays jax-free (predict pulls in the engine).
+    from octseg.infer.predict import load_pullback_frames
+
     frames = load_pullback_frames(cfg.dcm_path)
     base = os.path.splitext(os.path.basename(cfg.dcm_path))[0]
     width = len(str(frames.shape[0]))

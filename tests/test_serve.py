@@ -230,6 +230,29 @@ def test_client_end_to_end(server, rng, tmp_path):
     assert payload['frames'] == 3
 
 
+def test_client_quant_mode_never_imports_engine(tmp_path):
+    """The client's quant mode stays off the engine/jax import chain, so it
+    runs on a workstation with no TPU stack (on this rig jax itself is
+    preloaded by sitecustomize — module-chain presence is the testable
+    property)."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import sys, tempfile\n"
+        "import octseg.infer.client as client\n"
+        "from octseg.core.config import Config\n"
+        "def fake(server_url, dcm_path, fmt='masks', timeout=0):\n"
+        "    yield {'frames': 1, 'ratio': 9, 'objects': {}}\n"
+        "client.stream_pullback = fake\n"
+        "client.run(Config(server_url='http://x', dcm_path='/dev/null',\n"
+        "           save_dir=tempfile.mkdtemp(), format='quant', classes=[]))\n"
+        "assert 'octseg.infer.engine' not in sys.modules\n"
+        "assert 'octseg.infer.predict' not in sys.modules\n"
+    )
+    subprocess.run([_sys.executable, '-c', code], check=True, timeout=300)
+
+
 def test_client_raises_on_truncated_stream(tmp_path, rng, monkeypatch):
     """A stream that closes without the 'end' record (server died
     mid-pullback) is a loud RuntimeError, not exit-0 with partial PNGs."""
