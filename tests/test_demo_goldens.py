@@ -62,3 +62,19 @@ def test_render_chain_reproduces_reference_demo_artifacts(
     assert mask_ident >= 0.99, mask_ident
     assert ov_ident >= 0.96, ov_ident
     assert ov_mean <= 1.5, ov_mean
+
+
+@pytest.mark.parametrize('stem', ['001_001', '001_093', '001_098'])
+def test_colorize_mask_reproduces_reference_visualization(
+        stem, reference_dir):
+    """colorize_mask is byte-exact against the reference's committed
+    data/visualization mask -> mask_color pairs (real annotated frames,
+    produced by its own convert_int_to_cv.py:96-108 chain)."""
+    from octseg.data.convert_int_to_cv import colorize_mask
+    from octseg.data.tiffio import read_tiff
+
+    mask = read_tiff(os.path.join(
+        reference_dir, 'data/visualization/mask', f'{stem}.tiff'))
+    ref_color = read_tiff(os.path.join(
+        reference_dir, 'data/visualization/mask_color', f'{stem}.tiff'))
+    np.testing.assert_array_equal(colorize_mask(mask, CLASSES), ref_color)
