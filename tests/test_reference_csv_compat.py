@@ -44,6 +44,17 @@ def test_draw_boxplots_on_reference_csvs(ref_eval, tmp_path):
     for cls, expected in published.items():
         got = best[best['Class'] == cls]['Dice'].mean()
         assert abs(got - expected) < 0.02, (cls, got, expected)
+    # stronger: the selection is ROW-EXACT against the reference's own
+    # committed eval/training/best_metrics.csv (same best epochs per
+    # fold x class, same metric values)
+    ref_best = pd.read_csv(os.path.join(ref_eval, 'best_metrics.csv'))
+    ref_best = ref_best[ref_best['Split'] == 'test']
+    merged = best.merge(ref_best, on=['Class', 'Fold'],
+                        suffixes=('_ours', '_ref'))
+    assert len(merged) == len(ref_best) == 20
+    for col in ('Epoch', 'Loss', 'IoU', 'Dice', 'Precision', 'Recall', 'F1'):
+        assert (abs(merged[f'{col}_ours'] - merged[f'{col}_ref'])
+                < 1e-6).all(), col
 
 
 def test_our_csv_schema_matches_reference(ref_eval, tmp_path):
