@@ -168,9 +168,15 @@ def main() -> None:
                         help='skip training; run the ensemble scoring pass')
     args = parser.parse_args()
 
+    from octseg.core.compilecache import enable_compilation_cache
     from octseg.core.config import Config
     from octseg.train.evaluate import evaluate_model
     from octseg.train.train import train_model
+
+    # This driver calls train_model programmatically (no CLI decorator), so
+    # opt into the persistent XLA cache explicitly: the 896px remat compiles
+    # cost minutes and this experiment is restart-prone on a shared chip.
+    enable_compilation_cache()
 
     fold = os.path.join(args.out, 'fold')
     summary_path = os.path.join(args.out, 'summary.json')

@@ -250,7 +250,9 @@ def test_client_quant_mode_never_imports_engine(tmp_path):
         "assert 'octseg.infer.engine' not in sys.modules\n"
         "assert 'octseg.infer.predict' not in sys.modules\n"
     )
-    subprocess.run([_sys.executable, '-c', code], check=True, timeout=300)
+    # generous: the subprocess pays a cold jax import on a 1-core rig that
+    # may be saturated by the rest of the suite (observed >300s under load)
+    subprocess.run([_sys.executable, '-c', code], check=True, timeout=900)
 
 
 def test_client_raises_on_truncated_stream(tmp_path, rng, monkeypatch):
