@@ -161,8 +161,13 @@ def _postprocess_chain(m: jnp.ndarray):
 
 
 def postprocess_masks(m: jnp.ndarray):
-    """(fill, ring) for stacked binary masks; Pallas on TPU, XLA elsewhere."""
-    if jax.devices()[0].platform.lower() not in ('cpu',):
+    """(fill, ring) for stacked binary masks; Pallas on TPU, XLA elsewhere.
+
+    The gate is == 'tpu' (not "anything non-CPU"): the fused kernel uses
+    pltpu memory spaces, so on a GPU backend it would fail at trace time
+    instead of falling back to the portable XLA chain.
+    """
+    if jax.devices()[0].platform.lower() == 'tpu':
         from octseg.ops.pallas.postprocess import fused_overlay_postprocess
 
         return fused_overlay_postprocess(m)

@@ -1,5 +1,4 @@
 import json
-import os
 
 import pandas as pd
 import pytest
@@ -15,8 +14,11 @@ def write_pipeline(tmp_path, stages):
     return str(p)
 
 
-def test_pipeline_runs_in_dep_order_and_caches(tmp_path):
-    os.chdir(tmp_path)
+def test_pipeline_runs_in_dep_order_and_caches(tmp_path, monkeypatch):
+    # monkeypatch.chdir restores the cwd afterwards — a bare os.chdir leaked
+    # tmp_path into every later test and broke subprocesses that resolve the
+    # (non-pip-installed) octseg package via the repo-root cwd
+    monkeypatch.chdir(tmp_path)
     stages = {
         'b': {'cmd': 'cat a.txt a.txt > b.txt', 'deps': ['a.txt'], 'outs': ['b.txt']},
         'a': {'cmd': 'echo hi > a.txt', 'deps': [], 'outs': ['a.txt']},

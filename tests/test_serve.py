@@ -7,6 +7,7 @@ machine-facing surface documented in docs/SERVING.md.
 """
 
 import json
+import os
 import urllib.error
 import urllib.request
 
@@ -252,7 +253,13 @@ def test_client_quant_mode_never_imports_engine(tmp_path):
     )
     # generous: the subprocess pays a cold jax import on a 1-core rig that
     # may be saturated by the rest of the suite (observed >300s under load)
-    subprocess.run([_sys.executable, '-c', code], check=True, timeout=900)
+    # cwd-independent: octseg is not pip-installed, so the child must resolve
+    # it via PYTHONPATH (another test chdir-ing away must not break this)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env['PYTHONPATH'] = repo_root + os.pathsep + env.get('PYTHONPATH', '')
+    subprocess.run([_sys.executable, '-c', code], check=True, timeout=900,
+                   env=env)
 
 
 def test_client_raises_on_truncated_stream(tmp_path, rng, monkeypatch):
