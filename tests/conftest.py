@@ -22,8 +22,11 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 
 # Persistent compilation cache: CPU test compiles dominate suite runtime;
-# repeat runs hit the cache and are ~10x faster.
-jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_octseg_tests')
+# repeat runs hit the cache and are ~10x faster. OCTSEG_TEST_CACHE_DIR
+# overrides the location (set it to a fresh dir to measure a true cold run).
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('OCTSEG_TEST_CACHE_DIR',
+                                 '/root/.cache/jax_octseg_tests'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 assert jax.default_backend() == 'cpu', (

@@ -73,3 +73,52 @@ def test_our_csv_schema_matches_reference(ref_eval, tmp_path):
     ours = pd.read_csv(tmp_path / 'metrics.csv')
     assert list(ours.columns) == list(ref.columns)
     assert set(ours['Class']) <= set(ref['Class']) | {'Mean'}
+
+
+def test_epoch_aggregation_divergence_vs_reference_is_pinned():
+    """Quantify the one documented metric deviation (PARITY.md): octseg
+    aggregates an epoch as the PLAIN mean of per-batch means; the reference
+    folds each batch into a running accumulator as acc=(batch+acc)/2
+    (src/models/smp/utils.py:52-73), which weights batch i of n by
+    2^-(n-i) (the first by 2^-(n-1)) — a recency-weighted mean, NOT a
+    batch-count question. This pins (a) exact agreement through 2 batches,
+    (b) the closed-form weights of the reference scheme, and (c) the
+    realistic divergence magnitude for a converged epoch, so the PARITY
+    claim is a measured number instead of prose."""
+    from octseg.train.metrics import aggregate_epoch
+
+    def reference_agg(batch_means):
+        acc = batch_means[0]
+        for b in batch_means[1:]:
+            acc = np.mean((b, acc))
+        return acc
+
+    def batches(values):
+        return [{'dice': np.full((1, 1), v, np.float32)} for v in values]
+
+    # (a) identical through two batches
+    for vals in ([0.7], [0.2, 0.9]):
+        ours = float(np.asarray(aggregate_epoch(batches(vals))['dice']))
+        assert abs(ours - reference_agg(vals)) < 1e-7
+
+    # (b) the reference scheme's weights are exponential in recency:
+    # for n=4, weights are (1/8, 1/8, 1/4, 1/2)
+    vals = [1.0, 0.0, 0.0, 0.0]
+    assert abs(reference_agg(vals) - 1 / 8) < 1e-7
+    assert abs(reference_agg(vals[::-1]) - 1 / 2) < 1e-7
+    ours = float(np.asarray(aggregate_epoch(batches(vals))['dice']))
+    assert abs(ours - 1 / 4) < 1e-7  # plain mean, order-independent
+
+    # (c) realistic magnitude: a converged epoch whose per-batch Dice
+    # fluctuates with spread sigma diverges by O(sigma), NOT O(1) — the
+    # adversarial bound (~0.5 for metric range [0,1]) needs a monotone
+    # drift across the epoch that converged validation batches don't have.
+    rng = np.random.default_rng(11)
+    worst = 0.0
+    for _ in range(200):
+        vals = np.clip(rng.normal(0.9, 0.02, rng.integers(3, 20)), 0, 1)
+        ours = float(np.asarray(aggregate_epoch(batches(list(vals)))['dice']))
+        worst = max(worst, abs(ours - reference_agg(list(vals))))
+    # measured ceiling ~1.5*sigma over 200 epochs (sigma=0.02 -> 0.025);
+    # fails if either scheme drifts
+    assert 0.0 < worst < 0.03, worst
