@@ -3,9 +3,9 @@
 Framework equivalent of the reference converter (reference:
 src/data/convert_dicoms.py:27-143): per slice min-max normalize to uint8,
 BGR→RGB swap, optional grayscale equalization, aspect-preserving resize to
-output height, PNG per slice or mp4 per series. libx264 re-encode happens
-only if an ffmpeg binary exists (this environment has none; cv2's mp4v output
-is kept otherwise). Studies fan out over a thread pool.
+output height, PNG per slice or mp4 per series. H.264 re-encode uses the
+ffmpeg binary when present, else the native intra-only encoder
+(octseg/native/h264enc.cc). Studies fan out over a thread pool.
 
 Config: configs/convert_dicoms.yaml. Usage:
 python -m octseg.data.convert_dicoms [key=value ...]
@@ -53,14 +53,22 @@ def normalize_slice(img: np.ndarray) -> np.ndarray:
 
 
 def reencode_h264(src: str, dst: str, bitrate: str = '10M') -> bool:
+    """Re-encode to H.264 (reference src/data/convert_dicoms.py:100-105).
+
+    Prefers an ffmpeg binary (inter-frame libx264 — smallest files); without
+    one falls back to the native intra-only encoder
+    (octseg/native/h264enc.cc via octseg.data.h264) so the outputs are real
+    H.264/avc1 streams in any environment."""
     ffmpeg = shutil.which('ffmpeg')
-    if ffmpeg is None:
-        return False
-    subprocess.run(
-        [ffmpeg, '-y', '-i', src, '-c:v', 'libx264', '-b:v', bitrate, dst],
-        check=True, capture_output=True,
-    )
-    return True
+    if ffmpeg is not None:
+        subprocess.run(
+            [ffmpeg, '-y', '-i', src, '-c:v', 'libx264', '-b:v', bitrate, dst],
+            check=True, capture_output=True,
+        )
+        return True
+    from octseg.data import h264
+
+    return h264.reencode_mp4(src, dst)
 
 
 def convert_single_study(

@@ -2,7 +2,8 @@
 
 Framework equivalent of the reference stacker (reference:
 src/data/stack_images.py:22-144); these stacked videos are what annotators
-received in Supervisely. h264 re-encode is gated on an ffmpeg binary.
+received in Supervisely. h264 re-encode uses ffmpeg when present, else the
+native intra-only encoder (octseg/native/h264enc.cc).
 
 Config: configs/stack_images.yaml. Usage:
 python -m octseg.data.stack_images [key=value ...]

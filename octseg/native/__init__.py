@@ -24,6 +24,7 @@ log = logging.getLogger(__name__)
 _SOURCES = {
     'lzw': ['lzw.cc'],
     'dataloader': ['dataloader.cc', 'lzw.cc'],
+    'h264enc': ['h264enc.cc'],
 }
 
 _EXTRA_LINK = {
