@@ -38,7 +38,7 @@ HBM_BUDGET = 13.5 * 2 ** 30  # leave ~2.5 GB headroom on the 16 GB chip
 
 # (name, arch, encoder, classes, deployed input size, candidate blocks)
 SPECS = [
-    ('LM', 'UnetPlusPlus', 'resnet101', 1, 512, (128,)),
+    ('LM', 'UnetPlusPlus', 'resnet101', 1, 512, (128, 96, 64)),
     ('FC_LC', 'LinkNet', 'efficientnet-b7', 2, 896, (64, 32, 16)),
     ('VV', 'Unet', 'timm-regnetx_064', 1, 896, (64, 32, 16)),
 ]
