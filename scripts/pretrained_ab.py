@@ -45,14 +45,26 @@ PT_PATH = os.path.join(OUT, 'torch_unet_r18.pt')
 
 
 def _load_split(split: str, size: int):
-    """(N,3,H,W) float images in [0,255] + (N,1,H,W) float Lumen masks."""
+    """(N,3,H,W) images normalized EXACTLY like the fine-tune path + masks.
+
+    The fine-tune encoder sees BGR HWC [0,255] floats pushed through
+    normalize_imagenet with input_scale=1 (octseg/train/train.py:51, the
+    reference's 0..255 quirk). The torch pretrain must present the encoder
+    with the same input statistics or the learned BN running stats are
+    miscalibrated at transfer time — the round-4 first A/B fed raw [0,255]
+    RGB and the "pretrained" start was WORSE than scratch for exactly this
+    reason (eval/demo_realdata/pretrain/ab.json history).
+    """
     from glob import glob
 
     import numpy as np
     from PIL import Image
 
     from octseg.data.tiffio import read_tiff
+    from octseg.ops.normalize import IMAGENET_MEAN, IMAGENET_STD
 
+    mean = np.asarray(IMAGENET_MEAN, np.float32)[:, None, None]
+    std = np.asarray(IMAGENET_STD, np.float32)[:, None, None]
     imgs, masks = [], []
     for p in sorted(glob(os.path.join(FOLD, split, 'img', '*.png'))):
         stem = os.path.splitext(os.path.basename(p))[0]
@@ -60,7 +72,8 @@ def _load_split(split: str, size: int):
         m = read_tiff(os.path.join(FOLD, split, 'mask', f'{stem}.tiff'))
         m = np.asarray(
             Image.fromarray(m[:, :, 0]).resize((size, size), Image.NEAREST))
-        imgs.append(np.asarray(img, np.float32).transpose(2, 0, 1))
+        bgr = np.asarray(img, np.float32)[:, :, ::-1].transpose(2, 0, 1)
+        imgs.append((bgr - mean) / std)
         masks.append((m > 0).astype(np.float32)[None])
     return np.stack(imgs), np.stack(masks)
 
@@ -147,20 +160,31 @@ def ab(epochs: int) -> None:
                 model_dir, FOLD, split='test').items()},
         }
         print(json.dumps(results[tag]), flush=True)
-    summary = {
-        'protocol': (f'Unet/resnet18 @256 Lumen on {FOLD}, {epochs} epochs, '
-                     f'identical config/seed; pretrained initializes the '
-                     f'encoder from {PT_PATH} (torch mirror trained on the '
-                     f'same fold at 128px) via '
-                     f'octseg.models.convert_torch.load_pretrained_encoder'),
-        **results,
-        'pretrained_beats_scratch_at_equal_epochs': all(
-            p >= s for p, s in zip(results['pretrained']['val_dice_curve'],
-                                   results['scratch']['val_dice_curve'])),
-    }
+    summary = _summarize(results, epochs)
     with open(os.path.join(OUT, 'ab.json'), 'w') as f:
         json.dump(summary, f, indent=2)
     print('AB DONE:', json.dumps(summary), flush=True)
+
+
+def _summarize(results: dict, epochs: int) -> dict:
+    p, s = results['pretrained'], results['scratch']
+    return {
+        'protocol': (f'Unet/resnet18 @256 Lumen on {FOLD}, {epochs} epochs, '
+                     f'identical config/seed; pretrained initializes the '
+                     f'encoder from {PT_PATH} (torch mirror trained on the '
+                     f'same fold at 128px with the fine-tune pipeline\'s '
+                     f'exact input normalization — BGR, 0..255 ImageNet '
+                     f'quirk) via '
+                     f'octseg.models.convert_torch.load_pretrained_encoder'),
+        **results,
+        'epoch1_dice_advantage': round(
+            p['val_dice_curve'][0] - s['val_dice_curve'][0], 4),
+        'final_test_dice_advantage': round(
+            p['test']['Mean'] - s['test']['Mean'], 4),
+        'pretrained_beats_scratch': (
+            p['val_dice_curve'][0] > s['val_dice_curve'][0]
+            and p['test']['Mean'] > s['test']['Mean']),
+    }
 
 
 def main() -> None:
