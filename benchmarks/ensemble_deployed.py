@@ -88,7 +88,6 @@ def main():
         built.append((name, arch, enc, size, compiled, variables, b, flops))
 
     # measure after all compiles, on a calm pool (bench.py's gate)
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import wait_for_calm_pool  # noqa: E402
 
     floor = wait_for_calm_pool()

@@ -56,22 +56,35 @@ class Encoder:
 
     def __init__(self, width: int, height: int, qp: int = 26,
                  pcm: bool = False):
+        # _enc must exist before anything can raise: __del__ -> close()
+        # reads it even when construction fails (no native lib).
+        self._enc = None
         self._lib = _lib()
         if self._lib is None:
             raise RuntimeError('native h264 encoder unavailable')
         self._enc = self._lib.h264enc_create(width, height, qp, int(pcm))
         if not self._enc:
-            raise ValueError(f'unsupported geometry {width}x{height}')
+            raise ValueError(f'unsupported geometry {width}x{height}'
+                             ' (dimensions must be positive and even)')
         self.width, self.height = width, height
         self._lib.h264enc_recon.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
 
-    def encode(self, frame_bgr: np.ndarray):
-        """Encode one frame; returns (Y, U, V) reconstruction planes."""
+    def encode(self, frame_bgr: np.ndarray, recon: bool = True):
+        """Encode one frame; returns (Y, U, V) reconstruction planes
+        (or None with recon=False — the streaming re-encode path skips the
+        three plane copies per frame)."""
         f = np.ascontiguousarray(frame_bgr, np.uint8)
+        if f.shape != (self.height, self.width, 3):
+            # the native side reads exactly 3*H*W bytes from the pointer; a
+            # smaller array would be an out-of-bounds read, not a crash here
+            raise ValueError(f'frame shape {f.shape} does not match encoder '
+                             f'geometry ({self.height}, {self.width}, 3)')
         self._lib.h264enc_encode_frame(
             self._enc, f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if not recon:
+            return None
         y = np.empty((self.height, self.width), np.uint8)
         u = np.empty((self.height // 2, self.width // 2), np.uint8)
         v = np.empty_like(u)
@@ -129,6 +142,8 @@ def encode_mp4(frames_bgr: Sequence[np.ndarray], path: str, fps: float,
     from octseg.data.mp4 import write_mp4
 
     frames = list(frames_bgr)
+    if not frames:
+        raise ValueError('no frames')
     h, w = np.asarray(frames[0]).shape[:2]
     stream = encode_annexb(frames, qp=qp, pcm=pcm)
     write_mp4(path, stream, w, h, fps)
@@ -137,8 +152,16 @@ def encode_mp4(frames_bgr: Sequence[np.ndarray], path: str, fps: float,
 def reencode_mp4(src: str, dst: str, fps: Optional[float] = None,
                  qp: int = 26) -> bool:
     """Re-encode an existing (e.g. mp4v) video file to H.264; False if the
-    native encoder or the source decoder is unavailable."""
+    native encoder or the source decoder is unavailable, or the geometry is
+    unencodable (odd dimensions) — callers then keep the original file,
+    matching the pre-native behavior when ffmpeg was absent/failed.
+
+    Streams frame-by-frame: host memory stays at one decoded frame plus the
+    compressed stream, regardless of video length (convert_dicoms re-encodes
+    many studies concurrently from a thread pool)."""
     import cv2
+
+    from octseg.data.mp4 import write_mp4
 
     if not available():
         return False
@@ -146,14 +169,30 @@ def reencode_mp4(src: str, dst: str, fps: Optional[float] = None,
     if not cap.isOpened():
         return False
     src_fps = cap.get(cv2.CAP_PROP_FPS) or 15.0
-    frames = []
-    while True:
-        ok, frame = cap.read()
-        if not ok:
-            break
-        frames.append(frame)
-    cap.release()
-    if not frames:
+    enc = None
+    n = 0
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if enc is None:
+                h, w = frame.shape[:2]
+                enc = Encoder(w, h, qp=qp)
+            enc.encode(frame, recon=False)
+            n += 1
+    except ValueError:
+        # odd geometry or a mid-stream frame-size change: leave src as-is
         return False
-    encode_mp4(frames, dst, fps or src_fps, qp=qp)
+    finally:
+        cap.release()
+        if enc is not None:
+            stream = enc.annexb() if n else b''
+            enc.close()
+    if n == 0:
+        return False
+    try:
+        write_mp4(dst, stream, enc.width, enc.height, fps or src_fps)
+    except ValueError:  # e.g. stream too large for 32-bit mp4 boxes
+        return False
     return True

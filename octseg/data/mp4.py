@@ -40,6 +40,13 @@ def split_annexb(stream: bytes) -> List[bytes]:
 
 def _box(kind: bytes, *payload: bytes) -> bytes:
     body = b''.join(payload)
+    if 8 + len(body) > 0xFFFFFFFF:
+        # this muxer writes 32-bit box sizes and chunk offsets only (no
+        # largesize/co64); annotation videos are far below this, so fail
+        # loudly rather than write a corrupt header
+        raise ValueError(
+            f'{kind.decode("ascii", "replace")} box would be '
+            f'{8 + len(body)} bytes — exceeds the 32-bit mp4 box limit')
     return struct.pack('>I', 8 + len(body)) + kind + body
 
 

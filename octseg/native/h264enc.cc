@@ -9,8 +9,10 @@
 // macroblocks with the 4x4 integer transform + luma/chroma DC Hadamard
 // paths, and an I_PCM (lossless) mode used by tests as a bit-exact anchor.
 //
-// Output is an Annex-B byte stream (SPS+PPS+IDR per frame); the MP4
-// container is host-side plumbing and lives in octseg/data/mp4.py.
+// Output is an Annex-B byte stream: SPS+PPS once at stream start, then one
+// IDR slice per frame (a cut at a frame boundary therefore needs the stream
+// head's parameter sets re-prepended to stay decodable); the MP4 container
+// is host-side plumbing and lives in octseg/data/mp4.py.
 //
 // C API (ctypes): h264enc_create / h264enc_encode_frame(BGR interleaved)
 //                 / h264enc_data / h264enc_frame_sizes / h264enc_destroy.

@@ -81,7 +81,8 @@ SPS = [n for n in nals if (n[0] & 31) == 7][0]
 PPS = [n for n in nals if (n[0] & 31) == 8][0]
 
 import re as _re
-_CC = open('/root/repo/octseg/native/h264enc.cc').read()
+_CC = open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "octseg", "native", "h264enc.cc")).read()
 _m = _re.search(r'kCoeffToken0\[17\]\[4\] = \{(.*?)\n\};', _CC, _re.S)
 _pairs = _re.findall(r'\{(\d+),\s*(\d+)\}', _m.group(1))
 import numpy as _np

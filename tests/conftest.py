@@ -21,9 +21,16 @@ import jax  # noqa: E402
 # the assert, "8-device" tests silently run on a 1-device TPU and still pass.
 jax.config.update('jax_platforms', 'cpu')
 
-# Persistent compilation cache: CPU test compiles dominate suite runtime;
+# Persistent compilation cache: XLA:CPU compiles dominate suite runtime;
 # repeat runs hit the cache and are ~10x faster. OCTSEG_TEST_CACHE_DIR
 # overrides the location (set it to a fresh dir to measure a true cold run).
+# NOTE: do NOT ship a pre-built cache with the repo — XLA:CPU cache entries
+# embed host-specific machine code, and the loader (cpu_aot_loader.cc) will
+# load entries compiled for a DIFFERENT cpu's feature set with only a
+# warning ("could lead to ... SIGILL"), so a committed cache is a crash (or
+# silent-miscompile) hazard on any other rig. Measured while trying exactly
+# that: entries warmed on another pool host loaded here despite an
+# avx512/amx feature-set mismatch.
 jax.config.update('jax_compilation_cache_dir',
                   os.environ.get('OCTSEG_TEST_CACHE_DIR',
                                  '/root/.cache/jax_octseg_tests'))

@@ -93,7 +93,14 @@ def test_compilation_cache_writes_entries(tmp_path, monkeypatch):
     """enable_compilation_cache points XLA's persistent cache at the given
     dir; a slow-enough compile must land an entry there (the env kill
     switch and the idempotent re-enable are exercised too)."""
+    import jax as _jax
+
     import octseg.core.compilecache as cc
+
+    # the suite-wide cache dir (conftest) must be restored afterwards — a
+    # `None` here used to disable the persistent cache for every test that
+    # ran after this one, silently forfeiting all warm-run compile reuse
+    suite_cache_dir = _jax.config.jax_compilation_cache_dir
 
     monkeypatch.setattr(cc, '_enabled_dir', None)
     monkeypatch.setenv('OCTSEG_COMPILE_CACHE', '0')
@@ -130,5 +137,13 @@ def test_compilation_cache_writes_entries(tmp_path, monkeypatch):
         assert os.listdir(cache_dir), 'no cache entry written'
     finally:
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-        jax.config.update('jax_compilation_cache_dir', None)
+        jax.config.update('jax_compilation_cache_dir', suite_cache_dir)
+        # enable_compilation_cache reset the cache singleton onto this
+        # test's tmp dir; point it back at the suite-wide cache
+        try:
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:
+            pass
         monkeypatch.setattr(cc, '_enabled_dir', None)

@@ -193,3 +193,67 @@ def test_odd_and_large_geometry(tmp_path, rng):
     with pytest.raises(ValueError):
         h264.encode_mp4([rng.integers(0, 255, (49, 70, 3), dtype=np.uint8)],
                         str(tmp_path / 'odd.mp4'), fps=15)
+
+
+def test_reencode_mp4_odd_geometry_falls_back(tmp_path, rng, monkeypatch):
+    """An odd-width source (routine: truncated aspect resizes — and cv2's
+    own mp4v writer silently rounds 63→62, so the fake capture below is the
+    only way to feed one in) must return False — keep the original file —
+    not abort the whole conversion run (review finding: ValueError used to
+    propagate through convert_dicoms' thread pool)."""
+    frames = [rng.integers(0, 255, (64, 63, 3), dtype=np.uint8)
+              for _ in range(3)]
+
+    class FakeCap:
+        def __init__(self, path):
+            self._i = 0
+
+        def isOpened(self):
+            return True
+
+        def get(self, prop):
+            return 15.0
+
+        def read(self):
+            if self._i >= len(frames):
+                return False, None
+            self._i += 1
+            return True, frames[self._i - 1]
+
+        def release(self):
+            pass
+
+    monkeypatch.setattr(cv2, 'VideoCapture', FakeCap)
+    dst = str(tmp_path / 'odd_dst.mp4')
+    assert h264.reencode_mp4('whatever.mp4', dst, qp=20) is False
+    assert not os.path.exists(dst)
+
+
+def test_encoder_rejects_mismatched_frame_shape():
+    """The streaming Encoder validates frame geometry before handing the
+    pointer to native code (which reads exactly 3*H*W bytes — a smaller
+    array would be an out-of-bounds read)."""
+    enc = h264.Encoder(64, 48, qp=26)
+    try:
+        with pytest.raises(ValueError, match='does not match'):
+            enc.encode(np.zeros((48, 32, 3), np.uint8))
+        with pytest.raises(ValueError, match='does not match'):
+            enc.encode(np.zeros((64, 48, 3), np.uint8))  # swapped h/w
+        enc.encode(np.zeros((48, 64, 3), np.uint8))  # correct shape works
+    finally:
+        enc.close()
+
+
+def test_encoder_init_failure_leaves_del_safe(monkeypatch):
+    """A failed construction (no native lib) must not spew AttributeError
+    from __del__ during garbage collection."""
+    monkeypatch.setattr(h264, '_lib', lambda: None)
+    broken = h264.Encoder.__new__(h264.Encoder)
+    with pytest.raises(RuntimeError):
+        broken.__init__(64, 48)
+    broken.__del__()  # gc calls this on the half-constructed instance
+
+
+def test_encode_mp4_empty_frames_raises_value_error(tmp_path):
+    with pytest.raises(ValueError, match='no frames'):
+        h264.encode_mp4([], str(tmp_path / 'x.mp4'), fps=15)
