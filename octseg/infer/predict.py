@@ -106,6 +106,7 @@ def main(cfg: Config) -> None:
     start = time.time()
     engine = InferenceEngine(
         models_dir=models_dir, classes=list(cfg.classes),
+        block_size=int(cfg.get('block_size', 128)),
         bf16=bool(cfg.get('bf16', False)), int8=bool(cfg.get('int8', False)),
     )
 

@@ -42,6 +42,7 @@ def _load_split(fold, split, classes, size=64):
             jnp.asarray(np.stack([p[1] for p in pairs])))
 
 
+@pytest.mark.heavy  # fast-tier training coverage: test_train; convergence artifacts: eval/synth_fullscale, eval/demo_realdata
 def test_convergence_and_heldout_dice(synth_fold, tmp_path):
     """Overfit train dice >= 0.95 within 60 steps; held-out dice >= 0.5;
     the trained weights round-trip through the model-dir contract and the

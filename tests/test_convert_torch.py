@@ -86,6 +86,7 @@ def test_winning_config_encoders_convert():
         assert err < 5e-3, f'{arch}/{encoder}: max abs err {err}'
 
 
+@pytest.mark.heavy  # converter parity covered fast by test_forward_parity on smaller mirrors
 def test_flagship_unetpp_resnet101_converts():
     """The Lumen winner (U-Net++/resnet101) — structure check via shapes
     (forward at tiny size keeps it fast)."""
@@ -195,6 +196,7 @@ def test_load_torch_state_dict_formats(tmp_path):
     assert 'weight' in sd
 
 
+@pytest.mark.heavy  # encoder_weights merge covered fast by test_pretrained_encoder_merge; e2e A/B artifact eval/demo_realdata/pretrain
 def test_train_config_encoder_weights(tmp_path):
     """cfg.encoder_weights=<torch ckpt path> starts training from converted
     encoder weights (the reference's encoder_weights='imagenet' role,

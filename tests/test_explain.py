@@ -65,7 +65,13 @@ def test_visualize_driver(tmp_path, rng):
     assert len([f for f in files if f.endswith('.png')]) == 2 * 5  # 5 PNGs per pair
 
 
-@pytest.mark.parametrize('arch', ['FPN', 'DeepLabV3Plus', 'MAnet'])
+@pytest.mark.parametrize('arch', [
+    'FPN',
+    # the tap contract is arch-independent; FPN covers the upsampled-head
+    # case fast, the other two run in the CI full tier
+    pytest.param('DeepLabV3Plus', marks=pytest.mark.heavy),
+    pytest.param('MAnet', marks=pytest.mark.heavy),
+])
 def test_cam_on_upsampled_head_archs(tmp_path, rng, arch):
     """CAM must work for every zoo architecture, including decoders that
     emit sub-resolution maps with an upsampling head (FPN 1/4, DeepLabV3+

@@ -156,6 +156,7 @@ def test_predict_entry_point(models_dir, tmp_path, reference_dir):
         save_dir=save_dir,
         output_size=[256, 256],
         device='auto',
+        block_size=8,
         classes=['Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum'],
     )
     main(cfg)
@@ -166,6 +167,7 @@ def test_predict_entry_point(models_dir, tmp_path, reference_dir):
     assert overlay.shape == (256, 256, 3)
 
 
+@pytest.mark.heavy  # compiles probe programs at block 64/32/16 by design
 def test_block_sizing_halves_under_tight_budget(tmp_path, monkeypatch):
     """_block_for must halve the block until the program fits the HBM budget
     (per XLA memory_analysis) and floor at the mesh size."""
@@ -252,6 +254,7 @@ def test_engine_is_garbage_collectable(models_dir):
     assert ref() is None, 'InferenceEngine leaked (held by a global cache)'
 
 
+@pytest.mark.heavy  # int8 is opt-in and parked (benchmarks/int8_*.json); quantize unit tests stay fast
 def test_engine_int8_flag_end_to_end(models_dir, rng):
     """The opt-in int8 engine mode must produce valid masks through the
     full routing path and stay close to the exact path (accuracy artifact:
@@ -278,6 +281,7 @@ def test_engine_int8_flag_end_to_end(models_dir, rng):
         assert agree > 0.98, agree
 
 
+@pytest.mark.heavy  # AOT key gating covered fast by test_aot_key_gates_platform_and_block; TPU artifact benchmarks/aot_cold_start.json
 def test_aot_export_roundtrip_and_hit(models_dir, rng, monkeypatch):
     """engine.export_aot writes a jax.export artifact; a fresh engine must
     serve from it — no memory probing, no silent jit fallback — and
@@ -460,6 +464,7 @@ def test_predict_entry_point_dicom_pullback(models_dir, tmp_path, rng):
         save_dir=save_dir,
         output_size=[48, 48],
         device='auto',
+        block_size=8,
         classes=['Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum'],
     )
     main(cfg)
@@ -508,6 +513,7 @@ def test_predict_dicom_16bit_normalizes_per_slice(models_dir, tmp_path, rng,
         save_dir=save_dir,
         output_size=[48, 48],
         device='auto',
+        block_size=8,
         classes=['Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum'],
     )
     predict_mod.main(cfg)

@@ -96,6 +96,7 @@ def test_train_mode_updates_batch_stats():
     assert 'batch_stats' in mutated
 
 
+@pytest.mark.heavy  # remat equivalence; exercised at scale by benchmarks/train_fullscale.py
 def test_block_remat_is_transparent():
     """Per-block rematerialization (octseg.models.rematutil) must not change
     parameter paths (checkpoints are remat-agnostic) nor outputs, and grads

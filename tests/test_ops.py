@@ -108,8 +108,10 @@ class TestAugment:
     def test_shapes_and_determinism(self, rng):
         from octseg.ops.augment import augment_batch
 
-        imgs = jnp.asarray(rng.integers(0, 256, (4, 64, 64, 3)).astype(np.float32))
-        masks = jnp.asarray((rng.random((4, 64, 64, 2)) > 0.5).astype(np.float32))
+        # same (64, 32, 32) shapes as test_hflip_probability below so both
+        # tests share ONE compile of the full augmentation program
+        imgs = jnp.asarray(rng.integers(0, 256, (64, 32, 32, 3)).astype(np.float32))
+        masks = jnp.asarray((rng.random((64, 32, 32, 1)) > 0.5).astype(np.float32))
         key = jax.random.PRNGKey(7)
         out1 = augment_batch(imgs, masks, key)
         out2 = augment_batch(imgs, masks, key)
@@ -309,6 +311,7 @@ def test_platform_gates_fall_back_off_tpu(monkeypatch):
     np.testing.assert_array_equal(np.asarray(ring), np.asarray(rr))
 
 
+@pytest.mark.heavy  # augment-in-sharded-jit also certified by dryrun_multichip train step
 def test_augment_batch_pallas_path_in_sharded_jit(monkeypatch):
     """The TPU augmentation path (Pallas warp shard_mapped over the batch
     axis) must compose with a pjit-sharded step — exercised on the 8-device

@@ -21,7 +21,13 @@ def _random_masks(rng, m, h, w, blobs=True):
     return out
 
 
-@pytest.mark.parametrize('shape', [(2, 96, 128), (1, 100, 100), (3, 130, 250)])
+@pytest.mark.parametrize('shape', [
+    (2, 96, 128),
+    # non-multiple-of-tile and wide shapes: covered fast by the first case +
+    # border/multi-tile tests; full shape sweep runs in the CI full tier
+    pytest.param((1, 100, 100), marks=pytest.mark.heavy),
+    pytest.param((3, 130, 250), marks=pytest.mark.heavy),
+])
 def test_fused_postprocess_matches_xla_chain(rng, shape):
     masks = _random_masks(rng, *shape)
     fill_ref, ring_ref = _postprocess_chain(jnp.asarray(masks))
@@ -44,6 +50,7 @@ def test_fused_postprocess_border_touching_blobs(rng):
     np.testing.assert_allclose(np.asarray(fill), np.asarray(fill_ref), atol=1e-5)
 
 
+@pytest.mark.heavy  # tiling covered fast by shape0 parity + border-touching test
 def test_fused_postprocess_multi_tile(rng):
     # H > TILE_H exercises the slab/halo logic across tile boundaries
     masks = _random_masks(rng, 1, 300, 140)

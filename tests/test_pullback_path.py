@@ -27,6 +27,7 @@ def test_segment_pullback_contract(models_dir, rng):  # noqa: F811
     assert agree > 0.9, agree
 
 
+@pytest.mark.heavy  # multiblock sharding also certified by dryrun_multichip; contract test stays fast
 def test_segment_pullback_multiblock_sharded(models_dir, rng):  # noqa: F811
     """Multiple blocks per pullback: the on-device slice must stay frame-axis
     sharded (regression: eager dynamic_slice dropped the sharding and the

@@ -134,6 +134,7 @@ def test_train_loop_end_to_end(fold_dir, tmp_path):
     assert summary2['best_val_loss'] <= summary['best_val_loss'] + 1e-9
 
 
+@pytest.mark.heavy  # mesh train step covered by test_train_loop_end_to_end; learning by test_convergence (full tier)
 def test_multi_epoch_training_learns_on_full_mesh(fold_dir, tmp_path):
     """5 epochs on the full 8-device mesh (batch 8 -> 1 frame/device):
     training loss must decrease substantially — validates that the sharded
@@ -194,11 +195,13 @@ def test_folds_driver_on_mesh(tmp_path):
         encoder='resnet18',
         optimizer='Adam',
         lr=1e-3,
-        weight_decay=0.0,
+        # identical hyperparameters to test_train_loop_end_to_end so the two
+        # tests share ONE compile of the train/eval step programs
+        weight_decay=1e-4,
         input_size=64,
         batch_size=4,
         epochs=1,
-        use_augmentation=False,
+        use_augmentation=True,
         save_dir=str(tmp_path / 'models'),
         model_name='cvrun',
         seed=11,
@@ -214,6 +217,7 @@ def test_folds_driver_on_mesh(tmp_path):
     assert list(df['fold']) == [1, 2]
 
 
+@pytest.mark.heavy  # submesh queue also certified by dryrun_multichip; fold driver covered by test_folds_driver_on_mesh
 def test_concurrent_folds_on_submeshes(tmp_path):
     """concurrent_folds=2 trains two folds simultaneously on disjoint
     4-device submeshes of the 8-device mesh (fold-parallelism, SURVEY §2.7)."""

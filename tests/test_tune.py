@@ -140,6 +140,7 @@ def test_concurrent_sweep_runs_trials_in_parallel(tmp_path):
         assert wall < seq / 1.5, f'sequential {seq:.1f}s, concurrent {wall:.1f}s'
 
 
+@pytest.mark.heavy  # warm-start resume logic also unit-covered by test_observe_marks_seen + hyperband seed test
 def test_sweep_warm_start(tmp_path):
     """warm_start seeds the Bayesian model from another sweep's results file
     without consuming trial indices of the new sweep."""
