@@ -214,6 +214,15 @@ def train_model(
 
         variables = load_pretrained_encoder(variables, str(enc_weights), cfg.encoder)
         log.info('Initialized encoder from %s', enc_weights)
+    # Whole-model warm start from an octseg weights.ckpt (params+batch_stats;
+    # optimizer state starts fresh). Conv/BN shapes are input-size-independent,
+    # so a donor trained at a smaller input_size loads directly — this is the
+    # progressive-resizing pretrain the flagship real-imagery experiment uses
+    # (the Flax-donor analog of encoder_weights=, which takes torch donors).
+    init_w = cfg.get('init_weights')
+    if init_w and str(init_w).lower() not in ('none', 'null', ''):
+        variables = ckpt.restore_weights_into(variables, str(init_w))
+        log.info('Warm-started params+batch_stats from %s', init_w)
     tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.get('weight_decay', 0.0))
     state = TrainState.create(variables['params'], variables['batch_stats'], tx)
     state = replicate(state, mesh)

@@ -62,6 +62,20 @@ WINNING_CONFIGS = [
      896, 4, True),
 ]
 
+# Pretrained-start stage (the reference always starts from ImageNet encoders,
+# src/models/smp/model.py:38-44; no download path exists here, so the donor
+# is self-made): train the SAME architecture on the SAME train split at half
+# resolution (4x fewer pixels per step), then warm-start the full-resolution
+# run from it via cfg.init_weights. Half-res batch keeps per-step pixel
+# count at/below the full-res config's proven memory envelope (896 b2 fits
+# un-rematerialized => 448 b8 does; 512 b16 => 256 b64).
+# (model dir -> (pretrain input_size, pretrain batch))
+PRETRAIN_STAGE = {
+    'LM': (256, 64),
+    'FC_LC': (448, 8),
+    'VV': (448, 8),
+}
+
 BLOCK = 6          # frames per split block
 TEST_PHASE = 2     # block index % 5 == TEST_PHASE -> test (~20%, interior)
 
@@ -159,9 +173,22 @@ def _epochs_done(model_dir: str) -> int:
     return last
 
 
+def _reset_stale_logs(model_dir: str) -> None:
+    """A fresh run (no resumable state) must not append to a previous run's
+    metrics.csv/scalars.jsonl — epoch numbering would interleave."""
+    if os.path.exists(os.path.join(model_dir, 'resume.ckpt')):
+        return
+    for name in ('metrics.csv', 'scalars.jsonl'):
+        path = os.path.join(model_dir, name)
+        if os.path.exists(path):
+            os.remove(path)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument('--epochs', type=int, default=60)
+    parser.add_argument('--pretrain-epochs', type=int, default=40,
+                        help='half-resolution warm-start stage; 0 = from scratch')
     parser.add_argument('--out', default='eval/demo_realdata')
     parser.add_argument('--models', nargs='*', default=None)
     parser.add_argument('--score-only', action='store_true',
@@ -193,6 +220,51 @@ def main() -> None:
             if args.models and name not in args.models:
                 continue
             model_dir = os.path.join(args.out, name)
+
+            init_weights = None
+            pretrain_info = None
+            if args.pretrain_epochs > 0:
+                pre_size, pre_batch = PRETRAIN_STAGE[name]
+                pre_dir = os.path.join(args.out, 'pretrain', name)
+                pre_cfg = Config({
+                    'data_dir': fold,
+                    'classes': classes,
+                    'architecture': arch,
+                    'encoder': encoder,
+                    'input_size': pre_size,
+                    'batch_size': pre_batch,
+                    'optimizer': optimizer,
+                    'lr': lr,
+                    'epochs': args.pretrain_epochs,
+                    'use_augmentation': True,
+                    'bf16': True,
+                    'remat': False,
+                    'native_loader': False,
+                    'resume_interval': 10,
+                    'resume': True,
+                    'seed': 11,
+                    'model_name': name,
+                    'save_dir': os.path.join(args.out, 'pretrain'),
+                })
+                t0 = time.time()
+                if _epochs_done(pre_dir) >= args.pretrain_epochs:
+                    print(f'{name}: pretrain already at '
+                          f'{args.pretrain_epochs} epochs', flush=True)
+                    pre_elapsed = summary.get(name, {}).get(
+                        'pretrain', {}).get('seconds', 0.0)
+                else:
+                    print(f'=== {name}: pretrain {arch}/{encoder} '
+                          f'@{pre_size} b{pre_batch} ===', flush=True)
+                    _reset_stale_logs(pre_dir)
+                    train_model(pre_cfg, model_dir=pre_dir)
+                    pre_elapsed = time.time() - t0
+                init_weights = os.path.join(pre_dir, 'weights.ckpt')
+                pretrain_info = {
+                    'input_size': pre_size, 'batch_size': pre_batch,
+                    'epochs': args.pretrain_epochs,
+                    'seconds': round(pre_elapsed, 1),
+                }
+
             cfg = Config({
                 'data_dir': fold,
                 'classes': classes,
@@ -212,6 +284,7 @@ def main() -> None:
                 'seed': 11,
                 'model_name': name,
                 'save_dir': args.out,
+                'init_weights': init_weights,
             })
             t0 = time.time()
             print(f'=== {name}: {arch}/{encoder} @{input_size} ===', flush=True)
@@ -219,6 +292,7 @@ def main() -> None:
             if skipped:
                 print(f'{name}: already at {args.epochs} epochs', flush=True)
             else:
+                _reset_stale_logs(model_dir)
                 train_model(cfg, model_dir=model_dir)
             elapsed = time.time() - t0
             if skipped:
@@ -239,6 +313,8 @@ def main() -> None:
                               for c in classes},
                 'train_seconds': round(elapsed, 1),
             }
+            if pretrain_info is not None:
+                summary[name]['pretrain'] = pretrain_info
             print(json.dumps(summary[name]), flush=True)
             with open(summary_path, 'w') as f:
                 json.dump(summary, f, indent=2)

@@ -134,6 +134,45 @@ def test_train_loop_end_to_end(fold_dir, tmp_path):
     assert summary2['best_val_loss'] <= summary['best_val_loss'] + 1e-9
 
 
+def test_init_weights_warm_start_across_input_sizes(fold_dir, tmp_path):
+    """cfg.init_weights loads a donor weights.ckpt trained at a DIFFERENT
+    input size (conv/BN shapes are size-independent) — the progressive-
+    resizing pretrain mechanism used by scripts/train_demo_realdata.py."""
+    import jax
+
+    from octseg.train.checkpoint import load_weights
+    from octseg.train.train import train_model
+
+    base = dict(
+        data_dir=fold_dir, classes=['Lumen'], architecture='Unet',
+        encoder='resnet18', optimizer='Adam', lr=1e-3, batch_size=4,
+        use_augmentation=False, seed=11,
+    )
+    donor_dir = str(tmp_path / 'donor')
+    train_model(Config(dict(base, input_size=32, epochs=1,
+                            save_dir=str(tmp_path), model_name='donor')),
+                model_dir=donor_dir)
+    donor = load_weights(os.path.join(donor_dir, 'weights.ckpt'))
+
+    warm_dir = str(tmp_path / 'warm')
+    summary = train_model(
+        Config(dict(base, input_size=64, epochs=1,
+                    init_weights=os.path.join(donor_dir, 'weights.ckpt'),
+                    save_dir=str(tmp_path), model_name='warm')),
+        model_dir=warm_dir)
+    assert summary['epochs_done'] == 1
+    warm = load_weights(os.path.join(warm_dir, 'weights.ckpt'))
+    # after one small-lr epoch the warm params must be far closer to the
+    # donor than a fresh init would be
+    d_leaves = jax.tree.leaves(donor['params'])
+    w_leaves = jax.tree.leaves(warm['params'])
+    rel = [
+        float(np.abs(w - d).max() / (np.abs(d).max() + 1e-9))
+        for w, d in zip(w_leaves, d_leaves)
+    ]
+    assert np.median(rel) < 0.5, f'warm start did not load donor weights: {np.median(rel)}'
+
+
 @pytest.mark.heavy  # mesh train step covered by test_train_loop_end_to_end; learning by test_convergence (full tier)
 def test_multi_epoch_training_learns_on_full_mesh(fold_dir, tmp_path):
     """5 epochs on the full 8-device mesh (batch 8 -> 1 frame/device):
