@@ -83,7 +83,20 @@ class InferenceEngine:
         mesh=None,
         bf16: bool = False,  # mixed-precision compute (fp32 params/logits)
         int8: bool = False,  # int8 MXU convs (octseg/ops/quantize.py), opt-in
+        output_resize: str = 'prob_bilinear',
     ):
+        # output_resize: how model-resolution predictions become output-size
+        # masks. 'prob_bilinear' (default): bilinear-resize the sigmoid
+        # probabilities, then threshold at 0.5 — strictly more faithful when
+        # output_size != input_size (a NEAREST downsize of a thin binary
+        # structure drops/doubles boundary rows; measured on the demo
+        # pullback it costs Fibrous cap ~0.05-0.1 micro-Dice,
+        # eval/demo_realdata/gap_attribution.json). 'nearest': the
+        # reference's contract (cv2.resize NEAREST on the binary mask,
+        # src/predict.py:92-100), kept for behavioral parity runs.
+        if output_resize not in ('prob_bilinear', 'nearest'):
+            raise ValueError(f'unknown output_resize mode: {output_resize!r}')
+        self.output_resize = output_resize
         self.classes = list(classes)
         self.models_dir = models_dir
         self.compute_dtype = jnp.bfloat16 if bf16 else None
@@ -153,7 +166,8 @@ class InferenceEngine:
 
     def _forward_fn(self, model_dir_name: str, out_h: int, out_w: int,
                     device_preprocess: bool = False):
-        cache_key = (model_dir_name, out_h, out_w, device_preprocess)
+        cache_key = (model_dir_name, out_h, out_w, device_preprocess,
+                     self.output_resize)
         if cache_key in self._fns:
             return self._fns[cache_key]
         model, variables, model_cfg = self._bundle(model_dir_name)
@@ -167,6 +181,7 @@ class InferenceEngine:
         normalize = bool(model_cfg.get('normalize', False))
 
         int8_mode = self.int8
+        output_resize = self.output_resize
 
         def forward(variables, imgs):
             if device_preprocess:
@@ -188,8 +203,13 @@ class InferenceEngine:
                 logits = apply_int8(model, variables, imgs, train=False)
             else:
                 logits = model.apply(variables, imgs, train=False)
-            masks = sigmoid_threshold(logits)
-            masks = resize_nearest(masks, (out_h, out_w))
+            if output_resize == 'prob_bilinear':
+                probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+                probs = resize_bilinear(probs, (out_h, out_w))
+                masks = (probs > 0.5).astype(jnp.float32)
+            else:
+                masks = sigmoid_threshold(logits)
+                masks = resize_nearest(masks, (out_h, out_w))
             # binary masks travel host-ward bitpacked, 8 pixels/byte — the
             # mask download dominates pullback e2e on a relay-attached chip
             # (octseg/ops/bitpack.py); callers unpack with one numpy call
@@ -317,7 +337,7 @@ class InferenceEngine:
             fn, variables, model_cfg = self._forward_fn(
                 model_dir_name, out_h, out_w,
                 device_preprocess=device_preprocess)
-            fn_key = (out_h, out_w, device_preprocess)
+            fn_key = (out_h, out_w, device_preprocess, self.output_resize)
             frame_shape = (self.block_size, *shape_tail)
             bs, runner = self._block_for(
                 model_dir_name, fn, variables, frame_shape, dtype,
@@ -368,7 +388,7 @@ class InferenceEngine:
         bs, runner = self._block_for(
             model_dir_name, fn, variables,
             (self.block_size, input_size, input_size, 3), jnp.float32,
-            fn_key=(out_h, out_w, False),
+            fn_key=(out_h, out_w, False, self.output_resize),
         )
         data_shard = batch_sharding(self.mesh)
         for start in range(0, n, bs):
@@ -456,7 +476,7 @@ class InferenceEngine:
             bs, runner = self._block_for(
                 model_dir_name, fn, variables, (eb, *frames.shape[1:]),
                 frames.dtype, extra_resident=2 * block_bytes,
-                fn_key=(out_h, out_w, True))
+                fn_key=(out_h, out_w, True, self.output_resize))
             runs[model_dir_name] = (fn, variables, bs, runner)
 
         def upload(start):
@@ -527,7 +547,7 @@ class InferenceEngine:
                 # the pullback is batch-sharded: per-device share only
                 extra_resident=int(frames.size) * frames.dtype.itemsize
                 // self.n_devices,
-                fn_key=(out_h, out_w, True),
+                fn_key=(out_h, out_w, True, self.output_resize),
             )
             # slice on device under jit with an explicit output sharding: an
             # eager dynamic_slice of a 'data'-sharded array yields an

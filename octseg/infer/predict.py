@@ -108,6 +108,9 @@ def main(cfg: Config) -> None:
         models_dir=models_dir, classes=list(cfg.classes),
         block_size=int(cfg.get('block_size', 128)),
         bf16=bool(cfg.get('bf16', False)), int8=bool(cfg.get('int8', False)),
+        # 'nearest' reproduces the reference's binary-mask NEAREST resize
+        # (src/predict.py:92-100); the default resizes probabilities
+        output_resize=str(cfg.get('output_resize', 'prob_bilinear')),
     )
 
     if _is_dicom(data_dir):

@@ -122,6 +122,7 @@ class ServeState:
             models_dir=cfg.models_dir, classes=self.classes,
             bf16=bool(cfg.get('bf16', False)), int8=bool(cfg.get('int8', False)),
             block_size=int(cfg.get('block_size', 128)),
+            output_resize=str(cfg.get('output_resize', 'prob_bilinear')),
         )
         self.metrics = Metrics()
         # one pullback on the chip at a time (three models' temp buffers

@@ -73,7 +73,9 @@ def test_engine_routing_and_shapes(models_dir, rng):
 
 
 def test_engine_matches_unbatched_reference_semantics(models_dir, rng):
-    """Block-batched sharded inference == per-frame computation."""
+    """Block-batched sharded inference == per-frame computation (in the
+    reference-parity output mode: NEAREST on the thresholded mask,
+    reference src/predict.py:92-100)."""
     from octseg.data.utils import preprocessing_img
     from octseg.infer.engine import InferenceEngine, load_model_bundle
     from octseg.ops.resize import resize_nearest
@@ -82,7 +84,8 @@ def test_engine_matches_unbatched_reference_semantics(models_dir, rng):
         Image.fromarray(rng.integers(0, 255, (90, 90, 3), dtype=np.uint8))
         for _ in range(3)
     ]
-    engine = InferenceEngine(models_dir, classes=['Lumen'], block_size=8)
+    engine = InferenceEngine(models_dir, classes=['Lumen'], block_size=8,
+                             output_resize='nearest')
     batched = engine.run_model('LM', images, [64, 64])
 
     model, variables, model_cfg = load_model_bundle(os.path.join(models_dir, 'LM'))
@@ -92,6 +95,40 @@ def test_engine_matches_unbatched_reference_semantics(models_dir, rng):
         ref = (np.asarray(jax.nn.sigmoid(logits[0])) > 0.5).astype(np.float32)
         ref = np.asarray(resize_nearest(jnp.asarray(ref), (64, 64)))
         np.testing.assert_array_equal(batched[i], ref)
+
+
+def test_engine_prob_bilinear_output_mode(models_dir, rng):
+    """The default output mode resizes sigmoid PROBABILITIES bilinearly to
+    the output size, then thresholds — at output == input size it must equal
+    the nearest mode exactly; at other sizes it must match a per-frame
+    recomputation."""
+    from octseg.data.utils import preprocessing_img
+    from octseg.infer.engine import InferenceEngine, load_model_bundle
+    from octseg.ops.resize import resize_bilinear
+
+    images = [
+        Image.fromarray(rng.integers(0, 255, (90, 90, 3), dtype=np.uint8))
+        for _ in range(3)
+    ]
+    smooth = InferenceEngine(models_dir, classes=['Lumen'], block_size=8)
+    assert smooth.output_resize == 'prob_bilinear'
+    parity = InferenceEngine(models_dir, classes=['Lumen'], block_size=8,
+                             output_resize='nearest')
+    same_size = smooth.run_model('LM', images, [64, 64])  # == input_size
+    np.testing.assert_array_equal(
+        same_size, parity.run_model('LM', images, [64, 64]))
+
+    up = smooth.run_model('LM', images, [80, 80])
+    model, variables, model_cfg = load_model_bundle(os.path.join(models_dir, 'LM'))
+    for i, img in enumerate(images):
+        x = preprocessing_img(img.copy(), model_cfg['input_size']).astype(np.float32)
+        logits = model.apply(variables, jnp.asarray(x[None]), train=False)
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        ref = (np.asarray(resize_bilinear(probs, (80, 80)))[0] > 0.5)
+        np.testing.assert_array_equal(up[i], ref.astype(np.float32))
+
+    with pytest.raises(ValueError, match='output_resize'):
+        InferenceEngine(models_dir, classes=['Lumen'], output_resize='cubic')
 
 
 def test_save_results_reference_parity(rng, tmp_path):

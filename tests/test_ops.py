@@ -123,6 +123,23 @@ class TestAugment:
         out3 = augment_batch(imgs, masks, jax.random.PRNGKey(8))
         assert not np.array_equal(np.asarray(out1[0]), np.asarray(out3[0]))
 
+    def test_multichannel_masks(self, rng):
+        """C>1 masks through the full augment program (tiny shape: its own
+        compile stays cheap; the deployed 2-class FC_LC path is C=2)."""
+        from octseg.ops.augment import augment_batch
+
+        imgs = jnp.asarray(rng.integers(0, 256, (8, 16, 16, 3)).astype(np.float32))
+        masks = jnp.asarray((rng.random((8, 16, 16, 2)) > 0.5).astype(np.float32))
+        out_i, out_m = augment_batch(imgs, masks, jax.random.PRNGKey(3))
+        assert out_m.shape == masks.shape
+        assert set(np.unique(np.asarray(out_m))) <= {0.0, 1.0}
+        # channels stay independent: identical input channels may diverge
+        # only through the same spatial warp (never cross-mix)
+        same = jnp.asarray(np.repeat(
+            (rng.random((8, 16, 16, 1)) > 0.5).astype(np.float32), 2, axis=3))
+        _, m2 = augment_batch(imgs, same, jax.random.PRNGKey(4))
+        np.testing.assert_array_equal(np.asarray(m2[..., 0]), np.asarray(m2[..., 1]))
+
     def test_hflip_probability(self, rng):
         from octseg.ops.augment import augment_batch
 
