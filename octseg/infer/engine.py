@@ -28,7 +28,7 @@ from PIL import Image
 
 from octseg.data.utils import preprocessing_img
 from octseg.models import create_model
-from octseg.ops.bitpack import pack_mask_bits, unpack_mask_bits
+from octseg.ops.bitpack import pack_mask_bits, unpack_mask_bits, unpack_route_into
 from octseg.ops.normalize import normalize_imagenet, sigmoid_threshold
 from octseg.ops.resize import resize_bilinear, resize_nearest
 from octseg.parallel.sharding import batch_sharding, make_mesh, replicated_sharding
@@ -443,14 +443,17 @@ class InferenceEngine:
         engine block at a time, in frame order.
 
         The serving shape of :meth:`segment_pullback`: host memory is
-        bounded by two frame blocks plus one mask block regardless of
+        bounded by two frame blocks plus two mask blocks regardless of
         pullback length (segment_pullback holds the whole pullback and an
-        (N, out², 4) float32 result), the next block's upload is dispatched
-        before the current block's compute so the relay transfer overlaps
-        device work, and results stream out as they are ready instead of
-        after the last model's last block. All three models run per block,
-        so their executables' temp buffers still never coexist (serial
-        dispatch), while only O(block) frames are device-resident."""
+        (N, out², 4) float32 result), and the loop is pipelined one block
+        deep — block k+1's upload AND all of its model executions are
+        dispatched before block k's results are fetched, so the relay
+        download and the host bit-expansion of block k overlap block k+1's
+        device compute (draining before dispatching made streaming 2.2x
+        slower than the batch path, benchmarks/e2e_pullback.json r4). All
+        three models run per block, so their executables' temp buffers
+        still never coexist (serial dispatch), while only O(block) frames
+        are device-resident."""
         out_h, out_w = int(output_size[0]), int(output_size[1])
         n = int(frames.shape[0])
         if n == 0:
@@ -466,16 +469,18 @@ class InferenceEngine:
         data_shard = batch_sharding(self.mesh)
         eb = self.block_size
         # per-model programs sized against a budget holding at most two
-        # uploaded blocks (current + prefetched), per-device share
+        # uploaded blocks (current + prefetched) plus the previous block's
+        # not-yet-fetched bitpacked outputs, per-device share
         block_bytes = (eb * int(np.prod(frames.shape[1:]))
                        * frames.dtype.itemsize // self.n_devices)
+        out_bytes = eb * out_h * ((out_w + 7) // 8) * 4 // self.n_devices
         runs = {}
         for model_dir_name in plan:
             fn, variables, _cfg = self._forward_fn(
                 model_dir_name, out_h, out_w, device_preprocess=True)
             bs, runner = self._block_for(
                 model_dir_name, fn, variables, (eb, *frames.shape[1:]),
-                frames.dtype, extra_resident=2 * block_bytes,
+                frames.dtype, extra_resident=2 * (block_bytes + out_bytes),
                 fn_key=(out_h, out_w, True, self.output_resize))
             runs[model_dir_name] = (fn, variables, bs, runner)
 
@@ -489,23 +494,32 @@ class InferenceEngine:
             # completes, so the next block streams in during compute
             return jax.device_put(jnp.asarray(chunk), data_shard)
 
-        nxt = upload(0)
-        for start in range(0, n, eb):
-            cur, nxt = nxt, (upload(start + eb) if start + eb < n else None)
-            take = min(eb, n - start)
-            block_masks = np.zeros((take, out_h, out_w, 4), np.float32)
-            # dispatch every model's runs before fetching any result: the
-            # device works through all three models while the host fetches
-            # and unpacks the earlier ones
+        def dispatch(cur):
+            # enqueue every model's executions; nothing is fetched here
             pending = {}
             for model_dir_name, (fn, variables, bs, runner) in runs.items():
                 slicer = self._slicer(bs)
                 pending[model_dir_name] = [
                     self._run(runner, fn, variables, slicer(cur, s))
                     for s in range(0, eb, bs)]
+            return pending
+
+        nxt = upload(0)
+        pending = None
+        for start in range(0, n, eb):
+            cur, nxt = nxt, (upload(start + eb) if start + eb < n else None)
+            cur_pending, pending = pending, None
+            if cur_pending is None:
+                cur_pending = dispatch(cur)
+            # pipeline depth 1: next block's compute is on the device queue
+            # BEFORE this block's results are fetched/expanded on the host
+            if nxt is not None:
+                pending = dispatch(nxt)
+            take = min(eb, n - start)
+            block_masks = np.zeros((take, out_h, out_w, 4), np.float32)
             for model_dir_name, classes in plan.items():
-                self._drain(pending[model_dir_name],
-                            runs[model_dir_name][2], take, out_w, classes,
+                self._drain(cur_pending[model_dir_name],
+                            runs[model_dir_name][2], take, classes,
                             block_masks)
             yield start, block_masks
 
@@ -562,17 +576,19 @@ class InferenceEngine:
             # no whole-pullback intermediate (a concat would copy 2 GB for a
             # 500-frame pullback), and a 1-thread prefetch keeps the next
             # block's relay download in flight while this one unpacks
-            self._drain(outs, bs, n, out_w, class_routes, result)
+            self._drain(outs, bs, n, class_routes, result)
         return result
 
     @staticmethod
-    def _drain(outs, bs: int, n: int, out_w: int, class_routes,
+    def _drain(outs, bs: int, n: int, class_routes,
                result: np.ndarray, offset: int = 0) -> None:
-        """Fetch each dispatched block, unpack its bits, and write the routed
-        channels into ``result[offset + k*bs : ...]``; the next block's
+        """Fetch each dispatched block and expand its bits straight into the
+        routed channels of ``result[offset + k*bs : ...]`` (one native pass,
+        octseg/ops/bitpack.py unpack_route_into); the next block's
         device→host transfer overlaps the current block's host work."""
         from concurrent.futures import ThreadPoolExecutor
 
+        routes = [(ch, mask_ch) for _class_name, ch, mask_ch in class_routes]
         with ThreadPoolExecutor(1) as pool:
             fut = pool.submit(np.asarray, outs[0])
             for k in range(len(outs)):
@@ -583,9 +599,7 @@ class InferenceEngine:
                 if lo >= offset + n:
                     break
                 hi = min(lo + bs, offset + n)
-                pred = unpack_mask_bits(arr[: hi - lo], out_w)
-                for _class_name, ch, mask_ch in class_routes:
-                    result[lo:hi, :, :, mask_ch] = pred[:, :, :, ch]
+                unpack_route_into(arr[: hi - lo], result[lo:hi], routes)
 
     def segment(
         self,

@@ -25,6 +25,7 @@ _SOURCES = {
     'lzw': ['lzw.cc'],
     'dataloader': ['dataloader.cc', 'lzw.cc'],
     'h264enc': ['h264enc.cc'],
+    'unpack': ['unpack.cc'],
 }
 
 _EXTRA_LINK = {

@@ -74,7 +74,11 @@ def _load_completed(results_path: str):
 
 def run_sweep(cfg: Config, devices=None) -> dict:
     space = SearchSpace.from_config(cfg)
-    search = BayesianSearch(space, seed=cfg.get('seed', 11))
+    # n_random: initial pure-exploration trials before GP-EI takes over;
+    # n_random >= num_trials degenerates to random search (the baseline arm
+    # of eval/tuning's GP-vs-random comparison)
+    search = BayesianSearch(space, seed=cfg.get('seed', 11),
+                            n_random=int(cfg.get('n_random', 10)))
     save_dir = cfg.get('save_dir', 'models/tuning')
     os.makedirs(save_dir, exist_ok=True)
     results_path = os.path.join(save_dir, 'tuning_results.csv')

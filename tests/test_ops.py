@@ -395,3 +395,41 @@ class TestBitpack:
         dev = jax.device_put(jnp.asarray(masks), batch_sharding(mesh))
         np.testing.assert_array_equal(
             unpack_mask_bits(np.asarray(fn(dev)), 20), masks)
+
+    @pytest.mark.parametrize('w,cs', [(750, 2), (1000, 1), (63, 4)])
+    def test_unpack_route_native_matches_numpy(self, rng, w, cs):
+        """The native expand-and-route pass (octseg/native/unpack.cc) must
+        write exactly what the numpy path writes — routed channels filled,
+        other channels untouched — including non-multiple-of-8 widths."""
+        from octseg.ops.bitpack import (_unpack_route_numpy, pack_mask_bits,
+                                        unpack_route_into)
+        from octseg.native import load_library
+
+        masks = rng.integers(0, 2, (3, 7, w, cs), dtype=np.uint8)
+        packed = np.asarray(jax.jit(pack_mask_bits)(jnp.asarray(masks)))
+        routes = [(0, 3)] if cs == 1 else [(0, 2), (1, 1)]
+        sentinel = np.full((3, 7, w, 4), 7.0, np.float32)
+        want = sentinel.copy()
+        _unpack_route_numpy(packed, want, routes)
+        got = sentinel.copy()
+        unpack_route_into(packed, got, routes)
+        np.testing.assert_array_equal(got, want)
+        # untouched channels keep the sentinel
+        touched = {dst for _s, dst in routes}
+        for c in set(range(4)) - touched:
+            np.testing.assert_array_equal(got[..., c], 7.0)
+        if load_library('unpack') is None:  # pragma: no cover
+            pytest.skip('native unpack unavailable (no toolchain)')
+
+    def test_unpack_route_axis0_slice_view(self, rng):
+        """_drain writes through result[lo:hi] views — the native path must
+        accept contiguous axis-0 slices of the big ensemble buffer."""
+        from octseg.ops.bitpack import pack_mask_bits, unpack_route_into
+
+        masks = rng.integers(0, 2, (4, 5, 16, 2), dtype=np.uint8)
+        packed = np.asarray(jax.jit(pack_mask_bits)(jnp.asarray(masks)))
+        result = np.zeros((10, 5, 16, 4), np.float32)
+        unpack_route_into(packed[1:3], result[4:6], [(1, 0)])
+        np.testing.assert_array_equal(result[4:6, :, :, 0],
+                                      masks[1:3, :, :, 1].astype(np.float32))
+        assert result[:4].sum() == 0 and result[6:].sum() == 0
