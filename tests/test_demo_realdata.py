@@ -140,6 +140,66 @@ def test_product_path_dice_floor(tmp_path, reference_dir, monkeypatch):
     assert result['mean_dice'] >= ENSEMBLE_MEAN_FLOOR
 
 
+GAP_SCRIPT = os.path.join(os.path.dirname(SCRIPT), 'gap_attribution.py')
+
+
+def _load_gap():
+    spec = importlib.util.spec_from_file_location('gap_attribution', GAP_SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_gap_attribution_helpers_and_split_consistency():
+    """The attribution harness must score the SAME held-out frames as the
+    training split (same BLOCK/TEST_PHASE) and its dice helpers must match
+    first-principles formulas."""
+    gap = _load_gap()
+    mod = _load_script()
+    assert (gap.BLOCK, gap.TEST_PHASE) == (mod.BLOCK, mod.TEST_PHASE)
+
+    rng = np.random.default_rng(5)
+    p = rng.random((4, 16, 16)) > 0.5
+    g = rng.random((4, 16, 16)) > 0.5
+    inter = np.logical_and(p, g).sum()
+    assert gap.dice_micro(p, g) == pytest.approx(
+        2 * inter / (p.sum() + g.sum()))
+    # per-sample: mean over frames of 2*iou/(iou+1) (the evaluate-path quirk)
+    vals = []
+    for pi, gi in zip(p, g):
+        tp = np.logical_and(pi, gi).sum()
+        iou = tp / (tp + np.logical_xor(pi, gi).sum())
+        vals.append(2 * iou / (iou + 1))
+    assert gap.dice_per_sample(p, g) == pytest.approx(np.mean(vals))
+    # perfect prediction scores 1.0 under both
+    assert gap.dice_micro(g, g) == pytest.approx(1.0)
+    assert gap.dice_per_sample(g, g) == pytest.approx(1.0)
+
+
+def test_gap_attribution_committed_artifact():
+    """Schema + internal-consistency checks of the committed per-factor
+    breakdown (VERDICT r4 item 1)."""
+    path = os.path.join(os.path.dirname(SCRIPT), '..', 'eval',
+                        'demo_realdata', 'gap_attribution.json')
+    if not os.path.exists(path):
+        pytest.skip('gap_attribution.json not yet committed')
+    with open(path) as f:
+        report = json.load(f)
+    assert report['held_out_frames'] == 36
+    s0 = report['stage0_label_roundtrip']
+    for cl in ('Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum'):
+        r = s0[cl]
+        # prob-bilinear downsize must not lose more than the NEAREST contract
+        assert r['roundtrip_prob_bilinear_micro'] >= r['roundtrip_nearest_micro']
+        assert r['roundtrip_nearest_micro'] > 0.9  # resize is NOT the 0.2 gap
+    if 'ladder' in report:
+        for cl, rungs in report['ladder'].items():
+            assert set(rungs) >= {
+                'A_eval_per_sample_present_modelres',
+                'C_micro_all_modelres', 'D_micro_all_750_nearest',
+                'Dp_micro_all_750_prob_bilinear'}
+
+
 @pytest.mark.slow
 def test_real_demo_fold_preconditions(tmp_path, reference_dir, monkeypatch):
     """The committed experiment's split invariants hold on the real pullback."""
