@@ -16,6 +16,7 @@ Usage: python -m octseg.train.train [key=value ...]
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import time
@@ -200,9 +201,15 @@ def train_model(
     )
     rng = jax.random.PRNGKey(cfg.get('seed', 11))
     init_rng, loop_rng = jax.random.split(rng)
-    sample = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), jnp.float32)
-    variables = model.init(
-        {'params': init_rng, 'dropout': init_rng}, sample, train=False
+    # Jit the init as ONE program at a reduced spatial size: eager init
+    # dispatches hundreds of tiny ops, each paying a full round trip on a
+    # relay-attached device (~30 min for efficientnet-b7 — measured r5), and
+    # param/batch_stats shapes are spatial-size-independent for every arch in
+    # the zoo (same contract as checkpoint.initialize_model_dir's init_size).
+    init_size = min(int(cfg.input_size), 128)
+    sample = jnp.zeros((1, init_size, init_size, 3), jnp.float32)
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {'params': init_rng, 'dropout': init_rng}, sample
     )
     # Pretrained encoder start (the reference's encoder_weights='imagenet',
     # src/models/smp/model.py:38-44). No download path exists on air-gapped
@@ -300,12 +307,22 @@ def train_model(
         # read step N) — on a tunneled chip that dominated the epoch (r2:
         # 200 s/epoch of syncs vs ~15 s of compute).
         device_metrics = []
+        # Relay-debug knob: host-fetch each step's loss so per-step progress
+        # is visible on a tunneled device (a stalled remote execution is
+        # otherwise indistinguishable from a long async epoch). Costs one
+        # ~30 ms round trip per step and serializes the dispatch pipeline —
+        # diagnostics only, never the default.
+        step_sync = bool(os.environ.get('OCTSEG_STEP_SYNC'))
         for step, (imgs, masks) in enumerate(train_loader):
             key = jax.random.fold_in(loop_rng, epoch * 100003 + step)
             imgs = jax.device_put(imgs, data_shard)
             masks = jax.device_put(masks, data_shard)
             state, metrics = train_step(state, imgs, masks, key)
             device_metrics.append(metrics)
+            if step_sync:
+                log.info('epoch %d step %d loss=%.4f (%.1fs)', epoch, step,
+                         float(jax.device_get(metrics['loss'])),
+                         time.time() - t0)
         stacked = jax.device_get(
             jax.tree.map(lambda *xs: jnp.stack(xs), *device_metrics)
         )
