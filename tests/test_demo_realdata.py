@@ -80,20 +80,22 @@ def test_interleaved_block_split(tmp_path, monkeypatch):
         read_tiff(sample), read_tiff(str(mask_dir / f'{stem}.tiff')))
 
 
-# Floors sit ~0.03-0.08 below the committed r4 numbers (summary.json:
-# LM 0.9807 / FC 0.6745 / LC 0.6323 / VV 0.8523; ensemble Lumen 0.9818,
-# mean 0.6654) so noise-level retrains pass but a real regression in
-# models/engine/augmentation fails the parity number, not a stale doc.
+# Floors sit ~0.03-0.06 below the committed r5 numbers (summary.json:
+# pretrained two-stage starts — LM 0.9762 / FC 0.6405 / LC 0.7139 /
+# VV 0.8619; product-path ensemble Lumen 0.9789, FC 0.5221, LC 0.5671,
+# VV 0.7717, mean 0.7099 with output_resize=prob_bilinear) so noise-level
+# retrains pass but a real regression in models/engine/augmentation fails
+# the parity number, not a stale doc.
 SUMMARY = os.path.join(
     os.path.dirname(SCRIPT), '..', 'eval', 'demo_realdata', 'summary.json')
 HELD_OUT_FLOORS = {
     'LM': {'Lumen': 0.95},
-    'FC_LC': {'Lipid core': 0.55, 'Fibrous cap': 0.60},
-    'VV': {'Vasa vasorum': 0.75},
+    'FC_LC': {'Lipid core': 0.65, 'Fibrous cap': 0.60},
+    'VV': {'Vasa vasorum': 0.80},
 }
-ENSEMBLE_FLOORS = {'Lumen': 0.95, 'Fibrous cap': 0.40,
-                   'Lipid core': 0.35, 'Vasa vasorum': 0.70}
-ENSEMBLE_MEAN_FLOOR = 0.60
+ENSEMBLE_FLOORS = {'Lumen': 0.95, 'Fibrous cap': 0.47,
+                   'Lipid core': 0.51, 'Vasa vasorum': 0.73}
+ENSEMBLE_MEAN_FLOOR = 0.67
 
 
 def test_committed_summary_meets_floors():
@@ -198,6 +200,28 @@ def test_gap_attribution_committed_artifact():
                 'A_eval_per_sample_present_modelres',
                 'C_micro_all_modelres', 'D_micro_all_750_nearest',
                 'Dp_micro_all_750_prob_bilinear'}
+            # r5 attribution conclusions (the 0.67->0.48 "gap" of VERDICT
+            # r4): the output-resize contract costs <=0.02 (C vs D) and for
+            # the gap classes the dominant factor is false positives on
+            # class-absent frames (B vs C), NOT any product-path step.
+            assert abs(rungs['C_micro_all_modelres']
+                       - rungs['D_micro_all_750_nearest']) <= 0.02
+        for cl in ('Fibrous cap', 'Lipid core'):
+            rungs = report['ladder'][cl]
+            assert (rungs['B_micro_present_modelres']
+                    - rungs['C_micro_all_modelres']) >= 0.05
+    if 'product_path' in report and 'ladder' in report:
+        # the real engine reproduces the ladder's model-level D' rung:
+        # preprocessing/bf16/routing add <=0.02 — the product path is
+        # faithful; bf16 vs fp32 agree to <=0.005
+        pb = report['product_path']['prob_bilinear_bf16']
+        for cl, rungs in report['ladder'].items():
+            assert abs(pb[cl]
+                       - rungs['Dp_micro_all_750_prob_bilinear']) <= 0.02
+        pf = report['product_path'].get('prob_bilinear_fp32')
+        if pf:
+            for cl in pb:
+                assert abs(pb[cl] - pf[cl]) <= 0.005
 
 
 @pytest.mark.slow
