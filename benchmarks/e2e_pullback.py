@@ -43,12 +43,17 @@ def main():
     dcm_path = os.path.join(tmp, 'IMG001')
     dicom.dcmwrite(dcm_path, frames)
 
+    # init_size=64: full-size init is a multi-minute XLA compile that buys
+    # nothing for randomly-initialized benchmark weights
     initialize_model_dir(os.path.join(tmp, 'LM'), ['Lumen'],
-                         arch='UnetPlusPlus', encoder='resnet101', input_size=512)
+                         arch='UnetPlusPlus', encoder='resnet101',
+                         input_size=512, init_size=64)
     initialize_model_dir(os.path.join(tmp, 'FC_LC'), ['Lipid core', 'Fibrous cap'],
-                         arch='LinkNet', encoder='efficientnet-b7', input_size=512)
+                         arch='LinkNet', encoder='efficientnet-b7',
+                         input_size=512, init_size=64)
     initialize_model_dir(os.path.join(tmp, 'VV'), ['Vasa vasorum'],
-                         arch='Unet', encoder='timm-regnetx_064', input_size=512)
+                         arch='Unet', encoder='timm-regnetx_064',
+                         input_size=512, init_size=64)
 
     engine = InferenceEngine(tmp, classes=[
         'Lumen', 'Fibrous cap', 'Lipid core', 'Vasa vasorum',
